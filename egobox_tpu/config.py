@@ -1,0 +1,40 @@
+"""Global numeric configuration for egobox_tpu.
+
+The reference library (egobox) computes everything in f64 on CPU. On TPU the
+MXU/VPU are f32/bf16 hardware, so we make the working dtype configurable:
+
+- x64 is enabled at import so CPU runs (tests, parity checks) default to
+  float64 like the reference.
+- On TPU the high-level APIs default to float32 (native hardware dtype);
+  pass ``dtype=`` explicitly to override.
+
+Set env ``EGOBOX_TPU_NO_X64=1`` to skip enabling x64 (e.g. for pure-TPU
+deployments where f64 emulation must never be touched).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+if not os.environ.get("EGOBOX_TPU_NO_X64"):
+    jax.config.update("jax_enable_x64", True)
+
+
+def default_dtype():
+    """float64 when x64 is live (CPU parity mode), else float32 (TPU)."""
+    if jax.config.jax_enable_x64:
+        try:
+            platform = jax.default_backend()
+        except Exception:  # pragma: no cover
+            platform = "cpu"
+        if platform not in ("tpu", "axon"):
+            return jnp.float64
+    return jnp.float32
+
+
+def asdtype(x, dtype=None):
+    dtype = dtype or default_dtype()
+    return jnp.asarray(x, dtype=dtype)
