@@ -1,0 +1,53 @@
+"""Gaussian-process regression (Kriging), KPLS, sparse GP, metrics.
+
+TPU-native rebuild of the egobox `gp` crate (crates/gp in /root/reference).
+"""
+
+from .fit import fit_gp, fit_gp_core
+from .gp import (
+    GpModel,
+    posterior_cov,
+    predict,
+    predict_gradients,
+    predict_valvar,
+    predict_valvar_gradients,
+    predict_var,
+    predict_var_gradients,
+    sample,
+)
+from .kernels import (
+    KERNEL_NAMES,
+    THETA_INFLUENCE_FACTORS,
+    corr_cross,
+    corr_value,
+    theta_bounds_heuristic,
+)
+from .kpls import pls_rotations
+from .likelihood import GpInnerParams, reduced_likelihood
+from .trends import TREND_NAMES, n_basis, trend_basis, trend_jacobian
+
+__all__ = [
+    "GpInnerParams",
+    "GpModel",
+    "KERNEL_NAMES",
+    "THETA_INFLUENCE_FACTORS",
+    "TREND_NAMES",
+    "corr_cross",
+    "corr_value",
+    "fit_gp",
+    "fit_gp_core",
+    "n_basis",
+    "pls_rotations",
+    "posterior_cov",
+    "predict",
+    "predict_gradients",
+    "predict_valvar",
+    "predict_valvar_gradients",
+    "predict_var",
+    "predict_var_gradients",
+    "reduced_likelihood",
+    "sample",
+    "theta_bounds_heuristic",
+    "trend_basis",
+    "trend_jacobian",
+]

@@ -1,0 +1,219 @@
+"""GP hyperparameter fit: vmapped multistart MLE on log10(theta).
+
+TPU-first redesign of crates/gp/src/algorithm.rs:785-980 +
+optimization.rs:26-71:
+
+- the (n_start+1) restarts (user init + maximin-LHS seeds over the log10
+  bounds, ref optimization.rs:26-71) advance in lockstep as ONE vmapped
+  bounded L-BFGS program — the reference fans them out over rayon threads
+  and uses derivative-free COBYLA; here the exact likelihood gradient comes
+  from jax.grad through Cholesky/QR;
+- ThetaTuning Fixed/Full/Partial (ref gp/src/parameters.rs:14-78) maps to a
+  static fixed flag and an ``active`` mask whose inactive bounds collapse to
+  the init value (the box projection then pins them — this is also how
+  CoEGO's partial tuning composes, ref ego/src/solver/coego.rs:98-126);
+- padding: ``n_active`` rows of a statically-shaped design are fitted
+  exactly via the masked likelihood, so the growing EGO DoE re-uses one
+  compiled program per shape bucket.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..doe.lhs import maximin_lhs
+from ..optim.lbfgsb import minimize_lbfgsb
+from .gp import GpModel
+from .kpls import pls_rotations
+from .likelihood import reduced_likelihood
+
+#: COBYLA eval clamp in the reference (algorithm.rs:33-37); used here as the
+#: L-BFGS iteration budget
+GP_DEFAULT_N_START = 10
+GP_DEFAULT_THETA_INIT = 0.1
+GP_DEFAULT_THETA_BOUNDS = (1e-2, 1e1)
+
+
+def _masked_norm(v, m, n_obs):
+    mean = jnp.sum(v * m[:, None], axis=0) / n_obs
+    var = jnp.sum(((v - mean) ** 2) * m[:, None], axis=0) / jnp.maximum(
+        n_obs - 1.0, 1.0
+    )
+    std = jnp.sqrt(var)
+    std = jnp.where(std <= 0, 1.0, std)
+    return mean, std
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "corr", "trend", "kpls_dim", "n_start", "max_iters", "fixed",
+    ),
+)
+def fit_gp_core(
+    x: jnp.ndarray,  # (n, nx)
+    y: jnp.ndarray,  # (n, 1)
+    mask: jnp.ndarray,  # (n,) bool
+    theta0: jnp.ndarray,  # (dim,)
+    bounds_lo: jnp.ndarray,  # (dim,)
+    bounds_up: jnp.ndarray,  # (dim,)
+    active: jnp.ndarray,  # (dim,) bool
+    key,
+    *,
+    corr: str = "squared_exponential",
+    trend: str = "constant",
+    kpls_dim: Optional[int] = None,
+    n_start: int = GP_DEFAULT_N_START,
+    max_iters: int = 50,
+    fixed: bool = False,
+    nugget: float = 0.0,
+) -> GpModel:
+    n, nx = x.shape
+    dtype = x.dtype
+    m = mask.astype(dtype)
+    n_obs = jnp.sum(m)
+
+    x_mean, x_std = _masked_norm(x, m, n_obs)
+    y_mean, y_std = _masked_norm(y, m, n_obs)
+    # padded rows pinned to the mean (zero in normalized space) so they can
+    # never produce inf/nan kernel values
+    x_norm = ((x - x_mean) / x_std) * m[:, None]
+    y_norm = ((y - y_mean) / y_std) * m[:, None]
+
+    w_star = None
+    if kpls_dim is not None:
+        w_star = pls_rotations(x * m[:, None], y * m[:, None], kpls_dim)
+
+    def neg_rlf(t_log10):
+        theta = 10.0**t_log10
+        rlf, _ = reduced_likelihood(
+            corr, trend, x_norm, y_norm, y_std, theta, w_star, nugget, mask
+        )
+        return -rlf
+
+    if fixed:
+        theta_opt = theta0
+    else:
+        dim = theta0.shape[0]
+        lo = jnp.log10(bounds_lo)
+        up = jnp.log10(bounds_up)
+        t0 = jnp.log10(theta0)
+        # inactive components: collapse the box so projection pins them
+        lo = jnp.where(active, lo, t0)
+        up = jnp.where(active, up, t0)
+
+        if n_start > 0:
+            seeds = maximin_lhs(key, n_start, dim, False, 5, dtype)
+            seeds = lo[None, :] + seeds * (up - lo)[None, :]
+            inits = jnp.concatenate([t0[None, :], seeds], axis=0)
+        else:
+            inits = t0[None, :]
+
+        res = jax.vmap(
+            lambda t: minimize_lbfgsb(
+                neg_rlf, t, lo, up, max_iters=max_iters
+            )
+        )(inits)
+        best = jnp.argmin(res.fun)
+        theta_opt = 10.0 ** res.x[best]
+
+    rlf, inner = reduced_likelihood(
+        corr, trend, x_norm, y_norm, y_std, theta_opt, w_star, nugget, mask
+    )
+    return GpModel(
+        x_norm=x_norm,
+        x_mean=x_mean,
+        x_std=x_std,
+        y_mean=y_mean,
+        y_std=y_std,
+        theta=theta_opt,
+        w_star=w_star,
+        beta=inner.beta,
+        gamma=inner.gamma,
+        r_chol=inner.r_chol,
+        ft=inner.ft,
+        ft_qr_r=inner.ft_qr_r,
+        sigma2=inner.sigma2,
+        likelihood=rlf,
+        mask=mask,
+        corr=corr,
+        trend=trend,
+    )
+
+
+def fit_gp(
+    x,
+    y,
+    *,
+    corr: str = "squared_exponential",
+    trend: str = "constant",
+    theta_init=None,
+    theta_bounds=None,
+    n_start: int = GP_DEFAULT_N_START,
+    max_iters: int = 50,
+    kpls_dim: Optional[int] = None,
+    nugget: Optional[float] = None,
+    seed: int = 42,
+    mask=None,
+    theta_fixed: bool = False,
+    active=None,
+) -> GpModel:
+    """User-facing fit (ref: GpParams + Fit, gp/src/algorithm.rs:785-980).
+
+    ``x`` (n, nx), ``y`` (n,) or (n, 1). ``theta_init``/``theta_bounds``
+    accept scalars or per-dim arrays; dim = kpls_dim or nx.
+    """
+    x = jnp.asarray(x)
+    dtype = x.dtype
+    y = jnp.asarray(y, dtype=dtype)
+    if y.ndim == 1:
+        y = y[:, None]
+    if y.shape[1] != 1:
+        raise ValueError(
+            "multi-output training not supported (one output expected, "
+            f"got {y.shape[1]}) — mirror of the reference Gpx behavior"
+        )
+    n, nx = x.shape
+    dim = kpls_dim if kpls_dim is not None else nx
+    if kpls_dim is not None and kpls_dim > nx:
+        raise ValueError(
+            f"kpls_dim {kpls_dim} must be <= input dim {nx}"
+        )
+
+    theta0 = jnp.broadcast_to(
+        jnp.asarray(
+            theta_init if theta_init is not None else GP_DEFAULT_THETA_INIT,
+            dtype=dtype,
+        ),
+        (dim,),
+    )
+    tb = theta_bounds if theta_bounds is not None else GP_DEFAULT_THETA_BOUNDS
+    tb = jnp.asarray(tb, dtype=dtype)
+    if tb.ndim == 1:
+        tb = jnp.broadcast_to(tb[None, :], (dim, 2))
+    bounds_lo, bounds_up = tb[:, 0], tb[:, 1]
+
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+    else:
+        mask = jnp.asarray(mask, dtype=bool)
+    if active is None:
+        active_mask = jnp.ones((dim,), dtype=bool)
+    else:
+        active_mask = jnp.zeros((dim,), dtype=bool).at[
+            jnp.asarray(active)
+        ].set(True)
+
+    if nugget is None:
+        nugget = 100.0 * float(jnp.finfo(dtype).eps)
+
+    key = jax.random.key(seed)
+    return fit_gp_core(
+        x, y, mask, theta0, bounds_lo, bounds_up, active_mask, key,
+        corr=corr, trend=trend, kpls_dim=kpls_dim, n_start=n_start,
+        max_iters=max_iters, fixed=theta_fixed, nugget=nugget,
+    )
