@@ -38,8 +38,30 @@ from .types import (  # noqa: E402
 )
 
 from . import doe  # noqa: E402
+from .api import (  # noqa: E402
+    GpMix,
+    Gpx,
+    SparseGpMix,
+    SparseGpx,
+    lhs,
+    sampling,
+)
+from .ego import Egor, GpConfig  # noqa: E402
+from . import gp, moe, ego, parallel  # noqa: E402
 
 __all__ = [
+    "Egor",
+    "GpConfig",
+    "GpMix",
+    "Gpx",
+    "SparseGpMix",
+    "SparseGpx",
+    "ego",
+    "gp",
+    "lhs",
+    "moe",
+    "parallel",
+    "sampling",
     "ConstraintStrategy",
     "CorrelationSpec",
     "ExpectedOptimum",

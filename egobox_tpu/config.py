@@ -22,6 +22,21 @@ import jax.numpy as jnp
 if not os.environ.get("EGOBOX_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the EGO loop re-uses a handful of jitted
+# programs per shape bucket; caching them across processes removes the
+# dominant cold-start cost on TPU.
+if not os.environ.get("EGOBOX_TPU_NO_COMPILATION_CACHE"):
+    _cache_dir = os.environ.get(
+        "EGOBOX_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "egobox_tpu_xla"),
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 
 def default_dtype():
     """float64 when x64 is live (CPU parity mode), else float32 (TPU)."""

@@ -1,0 +1,264 @@
+"""Egor: the user-facing Bayesian optimizer.
+
+API parity with the egobox Python class (ref: python/src/egor.rs:156-425 and
+crates/ego/src/egor.rs:142-330): ``Egor(xspecs, ...).minimize(fun, ...)``,
+ask-and-tell ``suggest``, ``get_result(_index)``. The objective ``fun`` maps
+an (n, nx) batch to an (n, 1 + n_cstr) batch of [obj, cstr...] columns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from ..types import (
+    ConstraintStrategy,
+    CorrelationSpec,
+    ExpectedOptimum,
+    InfillOptimizer,
+    InfillStrategy,
+    OptimResult,
+    QInfillStrategy,
+    RegressionSpec,
+    XSpec,
+    XType,
+)
+from .config import EgorConfig, GpConfig, TregoConfig
+from .find_result import find_best_result_index
+from .mixint import MixintContext, parse_xspecs
+from .solver import EgorSolver, NoMorePointToAddError
+from .state import EgorState
+from .trego import trego_step
+
+EGOR_DOE_FILE = "egor_doe.npy"
+EGOR_INITIAL_DOE_FILE = "egor_initial_doe.npy"
+EGOR_HISTORY_FILE = "egor_history.npy"
+EGOR_CONFIG_FILE = "egor_config.json"
+EGOR_CHECKPOINT_FILE = "egor_checkpoint.json"
+
+
+class Egor:
+    """Efficient global optimizer (ref: python/src/egor.rs:156-231)."""
+
+    def __init__(
+        self,
+        xspecs,
+        gp_config: Optional[GpConfig] = None,
+        n_cstr: int = 0,
+        cstr_tol: Optional[Sequence[float]] = None,
+        n_start: int = 20,
+        n_doe: int = 0,
+        doe: Optional[np.ndarray] = None,
+        regr_spec: RegressionSpec = RegressionSpec.CONSTANT,
+        corr_spec: CorrelationSpec = CorrelationSpec.SQUARED_EXPONENTIAL,
+        infill_strategy: InfillStrategy = InfillStrategy.LOG_EI,
+        cstr_infill: bool = False,
+        cstr_strategy: ConstraintStrategy = ConstraintStrategy.MC,
+        q_points: int = 1,
+        q_infill_strategy: QInfillStrategy = QInfillStrategy.KB,
+        infill_optimizer: InfillOptimizer = InfillOptimizer.COBYLA,
+        kpls_dim: Optional[int] = None,
+        trego: bool = False,
+        coego_n_coop: int = 0,
+        n_clusters: int = 1,
+        q_optmod: int = 1,
+        target: float = -np.inf,
+        outdir: Optional[str] = None,
+        warm_start: bool = False,
+        hot_start: Optional[int] = None,
+        seed: Optional[int] = None,
+    ):
+        self.xspecs = parse_xspecs(xspecs)
+        self.mixint = MixintContext(self.xspecs)
+        if gp_config is None:
+            gp_config = GpConfig(
+                regr_spec=regr_spec,
+                corr_spec=corr_spec,
+                kpls_dim=kpls_dim,
+                n_clusters=n_clusters,
+            )
+        self.config = EgorConfig(
+            n_start=n_start,
+            n_doe=n_doe,
+            doe=doe,
+            n_cstr=n_cstr,
+            cstr_tol=None if cstr_tol is None else np.asarray(cstr_tol),
+            cstr_infill=cstr_infill,
+            cstr_strategy=cstr_strategy,
+            infill_strategy=infill_strategy,
+            q_points=q_points,
+            q_infill_strategy=q_infill_strategy,
+            q_optmod=q_optmod,
+            infill_optimizer=infill_optimizer,
+            gp_config=gp_config,
+            target=target,
+            outdir=outdir,
+            warm_start=warm_start,
+            hot_start=hot_start,
+            seed=seed,
+            trego=TregoConfig(activated=trego),
+            coego_n_coop=coego_n_coop,
+        )
+        self.solver = EgorSolver(
+            self.config, self.mixint.continuous_xlimits()
+        )
+
+    # ------------------------------------------------------------------
+
+    def _wrap_fun(self, fun: Callable) -> Callable:
+        """Evaluate the user's objective in the folded/discrete space while
+        the solver works in continuous-relaxed space
+        (ref: solver_computations.rs:478-529)."""
+
+        def wrapped(x_cont: np.ndarray) -> np.ndarray:
+            x_user = self.mixint.to_discrete_space(x_cont)
+            return np.asarray(fun(x_user), dtype=float)
+
+        return wrapped
+
+    def _wrap_cstr(self, c: Callable) -> Callable:
+        def wrapped(x_cont: np.ndarray) -> float:
+            x_user = self.mixint.to_discrete_space(
+                np.atleast_2d(x_cont)
+            )[0]
+            return float(c(x_user))
+
+        return wrapped
+
+    def minimize(
+        self,
+        fun: Callable,
+        fcstrs: Sequence[Callable] = (),
+        max_iters: int = 20,
+        run_info=None,
+    ) -> OptimResult:
+        cfg = self.config
+        solver = self.solver
+        wfun = self._wrap_fun(fun)
+        wcstrs = [self._wrap_cstr(c) for c in fcstrs]
+
+        outdir = cfg.outdir
+        if outdir:
+            os.makedirs(outdir, exist_ok=True)
+            self._dump_config(outdir, max_iters)
+
+        state, start_iter = self._init_or_resume(
+            wfun, wcstrs, outdir, max_iters
+        )
+        if cfg.hot_start is not None and cfg.hot_start > 0:
+            max_iters += int(cfg.hot_start)
+
+        history = []
+        for it in range(start_iter, max_iters):
+            try:
+                if cfg.trego.activated:
+                    state = trego_step(solver, state, wfun, wcstrs)
+                else:
+                    state = solver.ego_step(state, wfun, wcstrs)
+            except NoMorePointToAddError:
+                break
+            xb, yb, _ = state.best()
+            history.append(np.concatenate([[yb[0]], xb]))
+            if outdir:
+                self._observe(outdir, state, history)
+            if yb[0] < cfg.target:
+                break
+
+        return self._result(state)
+
+    def _init_or_resume(self, wfun, wcstrs, outdir, max_iters):
+        cfg = self.config
+        # hot start: full state checkpoint (ref: utils/hot_start.rs:82-141)
+        if cfg.hot_start is not None and outdir:
+            ckpt = os.path.join(outdir, EGOR_CHECKPOINT_FILE)
+            if os.path.exists(ckpt):
+                with open(ckpt) as f:
+                    state = EgorState.from_dict(json.load(f))
+                return state, state.iter
+        # warm start: reload evaluated DoE (ref: egor_solver.rs:192-224)
+        doe = None
+        y_doe = None
+        if cfg.warm_start and outdir:
+            doe_path = os.path.join(outdir, EGOR_DOE_FILE)
+            if os.path.exists(doe_path):
+                data = np.load(doe_path)
+                nx = self.solver.nx
+                doe = data[:, :nx]
+                y_doe = data[:, nx : nx + 1 + cfg.n_cstr]
+        state = self.solver.init_state(wfun, wcstrs, doe=doe, y_doe=y_doe)
+        if outdir:
+            np.save(
+                os.path.join(outdir, EGOR_INITIAL_DOE_FILE),
+                np.hstack([state.x_data, state.y_data]),
+            )
+        return state, 0
+
+    def _observe(self, outdir, state: EgorState, history):
+        """Optimization observer (ref: egor.rs:336-394)."""
+        np.save(
+            os.path.join(outdir, EGOR_DOE_FILE),
+            np.hstack([state.x_data, state.y_data]),
+        )
+        np.save(
+            os.path.join(outdir, EGOR_HISTORY_FILE), np.asarray(history)
+        )
+        if self.config.hot_start is not None:
+            with open(
+                os.path.join(outdir, EGOR_CHECKPOINT_FILE), "w"
+            ) as f:
+                json.dump(state.to_dict(), f)
+
+    def _dump_config(self, outdir, max_iters):
+        cfg = self.config
+        payload = {
+            "max_iters": max_iters,
+            "n_cstr": cfg.n_cstr,
+            "n_start": cfg.n_start,
+            "n_doe": cfg.n_doe,
+            "infill_strategy": cfg.infill_strategy.value,
+            "cstr_strategy": cfg.cstr_strategy.value,
+            "q_points": cfg.q_points,
+            "seed": cfg.seed,
+            "trego": cfg.trego.activated,
+        }
+        with open(os.path.join(outdir, EGOR_CONFIG_FILE), "w") as f:
+            json.dump(payload, f, indent=2)
+
+    def _result(self, state: EgorState) -> OptimResult:
+        xb, yb, _ = state.best()
+        x_doe = self.mixint.to_discrete_space(state.x_data)
+        return OptimResult(
+            x_opt=self.mixint.to_discrete_space(xb[None, :])[0],
+            y_opt=yb,
+            x_doe=x_doe,
+            y_doe=state.y_data,
+        )
+
+    # ------------------------------------------------------------------
+    # ask-and-tell (ref: python/src/egor.rs:348-367)
+    # ------------------------------------------------------------------
+
+    def suggest(self, x_doe, y_doe) -> np.ndarray:
+        x_cont = self.mixint.to_continuous_space(
+            np.atleast_2d(np.asarray(x_doe, dtype=float))
+        )
+        x_next = self.solver.suggest(x_cont, y_doe)
+        return self.mixint.to_discrete_space(x_next)
+
+    def get_result_index(self, y_doe) -> int:
+        y = np.atleast_2d(np.asarray(y_doe, dtype=float))
+        return find_best_result_index(
+            y, np.zeros((y.shape[0], 0)),
+            self.config.resolved_cstr_tol(0),
+        )
+
+    def get_result(self, x_doe, y_doe) -> OptimResult:
+        x = np.atleast_2d(np.asarray(x_doe, dtype=float))
+        y = np.atleast_2d(np.asarray(y_doe, dtype=float))
+        idx = self.get_result_index(y)
+        return OptimResult(
+            x_opt=x[idx], y_opt=y[idx], x_doe=x, y_doe=y
+        )

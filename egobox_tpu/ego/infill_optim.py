@@ -1,0 +1,217 @@
+"""Infill-criterion optimization: one jitted multistart program.
+
+TPU-first replacement for crates/ego/src/solver/solver_infill_optim.rs:
+the reference fans n_start SLSQP/COBYLA local solves over rayon threads;
+here every start runs an augmented-Lagrangian bounded L-BFGS **in lockstep
+under vmap**, with the surrogate posterior, criterion, and constraint
+handling all fused into one XLA computation.
+
+Constraint semantics follow solver_computations.rs:196-257: surrogate
+constraints enter either as hard optimizer constraints on the scaled mean
+(MC) or mean + 3 sigma (UTB, CSTR_DOUBT=3), or — with cstr_infill — folded
+into the criterion as (log-)probability-of-feasibility
+(solver_computations.rs:398-475).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..optim.lbfgsb import minimize_lbfgsb
+from .criteria import ei, log_ei, log_pof, pof, wb2, wb2s_scale
+from .surrogates import predict_valvar_cloud, predict_valvar_single
+
+CSTR_DOUBT = 3.0
+
+
+def _criterion(crit: str, mean, var, fmin, scale_wb2, sigma_weight=1.0):
+    if crit == "EI":
+        return ei(mean, var, fmin, sigma_weight)
+    if crit == "LogEI":
+        return log_ei(mean, var, fmin, sigma_weight)
+    if crit == "WB2":
+        return wb2(mean, var, fmin, 1.0, sigma_weight)
+    if crit == "WB2S":
+        return wb2(mean, var, fmin, scale_wb2, sigma_weight)
+    raise ValueError(f"unknown infill criterion: {crit}")
+
+
+def _infill_obj_terms(crit, means, vrs, fmin, scale_infill, scale_wb2,
+                      cstr_tols, cstr_infill, sigma_weight=1.0):
+    """Negative (scaled) criterion, optionally folded with PoF
+    (ref: eval_infill_obj_with_cstrs, solver_computations.rs:398-475)."""
+    c = _criterion(crit, means[0], vrs[0], fmin, scale_wb2, sigma_weight)
+    obj = -c / scale_infill
+    if cstr_infill and means.shape[0] > 1:
+        if crit == "LogEI":
+            obj = obj - jnp.sum(log_pof(means[1:], vrs[1:], cstr_tols))
+        else:
+            obj = obj * jnp.prod(pof(means[1:], vrs[1:], cstr_tols))
+    return obj
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "crit", "cstr_strategy", "n_cstr", "cstr_infill",
+        "inner_iters", "n_outer",
+    ),
+)
+def optimize_infill(
+    models,  # batched GpModel, leading axis 1 + n_cstr
+    starts: jnp.ndarray,  # (k, nx)
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    fmin,
+    scale_infill,
+    scale_wb2,
+    scale_cstr,  # (n_cstr,)
+    cstr_tols,  # (n_cstr,)
+    sigma_weight=1.0,
+    *,
+    crit: str = "LogEI",
+    cstr_strategy: str = "MC",
+    n_cstr: int = 0,
+    cstr_infill: bool = False,
+    inner_iters: int = 40,
+    n_outer: int = 4,
+):
+    """Returns (x_best (nx,), infill_obj_best, per-start results)."""
+    dtype = starts.dtype
+
+    def infill_obj(x):
+        means, vrs = predict_valvar_single(models, x)
+        return _infill_obj_terms(
+            crit, means, vrs, fmin, scale_infill, scale_wb2, cstr_tols,
+            cstr_infill, sigma_weight,
+        )
+
+    hard_cstr = (n_cstr > 0) and not cstr_infill
+
+    if not hard_cstr:
+
+        def solve_one(x0):
+            res = minimize_lbfgsb(
+                infill_obj, x0, lo, hi, max_iters=inner_iters * 2
+            )
+            return res.x, res.fun, jnp.asarray(0.0, dtype)
+
+    else:
+
+        def cstr_viol(x):
+            means, vrs = predict_valvar_single(models, x)
+            g = means[1:]
+            if cstr_strategy == "UTB":
+                g = g + CSTR_DOUBT * jnp.sqrt(jnp.maximum(vrs[1:], 0.0))
+            return (g - cstr_tols) / scale_cstr
+
+        def solve_one(x0):
+            lam0 = jnp.zeros((n_cstr,), dtype)
+            mu0 = jnp.asarray(10.0, dtype)
+
+            def outer(carry, _):
+                x, lam, mu = carry
+
+                def penalized(xx):
+                    f = infill_obj(xx)
+                    g = cstr_viol(xx)
+                    return f + jnp.sum(
+                        0.5 * mu * jnp.maximum(g + lam / mu, 0.0) ** 2
+                    )
+
+                res = minimize_lbfgsb(
+                    penalized, x, lo, hi, max_iters=inner_iters
+                )
+                g = cstr_viol(res.x)
+                lam = jnp.maximum(lam + mu * g, 0.0)
+                return (res.x, lam, mu * 5.0), None
+
+            (x, _, _), _ = lax.scan(
+                outer, (x0, lam0, mu0), None, length=n_outer
+            )
+            f = infill_obj(x)
+            v = jnp.sum(jnp.maximum(cstr_viol(x), 0.0))
+            return x, f, v
+
+    xs, fs, vs = jax.vmap(solve_one)(starts)
+    fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
+
+    feas = vs <= 1e-6
+    any_feas = jnp.any(feas)
+    score = jnp.where(feas, fs, jnp.inf)
+    best_feas = jnp.argmin(score)
+    best_viol = jnp.argmin(vs)
+    best = jnp.where(any_feas, best_feas, best_viol)
+    return xs[best], fs[best], (xs, fs, vs)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("crit", "n_cstr", "cstr_infill"),
+)
+def compute_scaling(
+    models,
+    cloud: jnp.ndarray,  # (p, nx)
+    fmin,
+    cstr_tols,
+    sigma_weight=1.0,
+    *,
+    crit: str = "LogEI",
+    n_cstr: int = 0,
+    cstr_infill: bool = False,
+):
+    """Scaling factors over an LHS cloud
+    (ref: compute_scaling, solver_computations.rs:132-193).
+    Returns (scale_infill_obj, scale_cstr (n_cstr,), scale_wb2)."""
+    dtype = cloud.dtype
+    means, vrs = predict_valvar_cloud(models, cloud)  # (m, p)
+
+    if crit == "WB2S":
+        scale_wb2 = wb2s_scale(means[0], vrs[0], fmin, sigma_weight)
+    else:
+        scale_wb2 = jnp.asarray(1.0, dtype)
+
+    def one(mean, var):
+        return _criterion(crit, mean, var, fmin, scale_wb2, sigma_weight)
+
+    crit_vals = jax.vmap(one)(means[0], vrs[0])
+    crit_vals = -crit_vals  # infill objective sign (minimized)
+    if cstr_infill and n_cstr > 0:
+        if crit == "LogEI":
+            lp = jax.vmap(
+                lambda m, v: jnp.sum(log_pof(m, v, cstr_tols))
+            )(means[1:].T, vrs[1:].T)
+            crit_vals = crit_vals - lp
+        else:
+            pp = jax.vmap(
+                lambda m, v: jnp.prod(pof(m, v, cstr_tols))
+            )(means[1:].T, vrs[1:].T)
+            crit_vals = crit_vals * pp
+
+    vals = jnp.where(jnp.isfinite(crit_vals), jnp.abs(crit_vals), 1.0)
+    scale = jnp.max(vals)
+    eps100 = 100.0 * jnp.finfo(dtype).eps
+    scale_infill = jnp.where(scale < eps100, 1.0, scale)
+
+    if n_cstr > 0:
+        cm = jnp.where(jnp.isfinite(means[1:]), jnp.abs(means[1:]), 0.0)
+        scale_cstr = jnp.maximum(jnp.max(cm, axis=1), eps100)
+    else:
+        scale_cstr = jnp.zeros((0,), dtype)
+    return scale_infill, scale_cstr, scale_wb2
+
+
+@partial(jax.jit, static_argnames=("strategy",))
+def virtual_point(models, xk, y_best_row, *, strategy: str = "KB"):
+    """qEI virtual outputs at xk (ref: compute_virtual_point,
+    solver_computations.rs:261-292). Returns a (1 + n_cstr,) row."""
+    means, vrs = predict_valvar_single(models, xk)
+    if strategy == "CLMIN":
+        return y_best_row
+    conf = {"KB": 0.0, "KBLB": -3.0, "KBUB": 3.0}[strategy]
+    obj = means[0] + conf * jnp.sqrt(jnp.maximum(vrs[0], 0.0))
+    return jnp.concatenate([obj[None], means[1:]])

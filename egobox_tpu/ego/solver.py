@@ -1,0 +1,399 @@
+"""EgorSolver: the EGO iteration engine.
+
+TPU-first redesign of crates/ego/src/solver/{egor_solver.rs,solver_impl.rs}:
+the outer ask/eval/tell loop stays in Python (it calls the user's objective),
+while every phase — surrogate training for objective+constraints (vmapped),
+scaling-cloud evaluation, and the constrained multistart infill optimization
+— is one jit-compiled program. The growing DoE is padded to static shape
+buckets so XLA re-uses compilations across iterations (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..doe.lhs import LhsKind, lhs_normalized, scale_to_xlimits
+from ..gp.kernels import theta_bounds_heuristic
+from ..types import (
+    ConstraintStrategy,
+    InfillStrategy,
+    QInfillStrategy,
+)
+from .config import MAX_POINT_ADDITION_RETRY, EgorConfig
+from .find_result import (
+    find_best_result_index,
+    find_best_result_index_from,
+    is_feasible,
+)
+from .infill_optim import compute_scaling, optimize_infill, virtual_point
+from .start_points import middle_picker_starts
+from .state import EgorState
+from .surrogates import GpSpec, train_gp_surrogates
+
+_CRIT_NAME = {
+    InfillStrategy.EI: "EI",
+    InfillStrategy.WB2: "WB2",
+    InfillStrategy.WB2S: "WB2S",
+    InfillStrategy.LOG_EI: "LogEI",
+}
+_CSTR_NAME = {
+    ConstraintStrategy.MC: "MC",
+    ConstraintStrategy.UTB: "UTB",
+}
+_QEI_NAME = {
+    QInfillStrategy.KB: "KB",
+    QInfillStrategy.KBLB: "KBLB",
+    QInfillStrategy.KBUB: "KBUB",
+    QInfillStrategy.CLMIN: "CLMIN",
+}
+
+
+class NoMorePointToAddError(RuntimeError):
+    """Raised when point-addition retries are exhausted — the solver is
+    considered converged (ref: solver_impl.rs:505-515)."""
+
+
+def _bucket(n: int, b: int) -> int:
+    return max(b, ((n + b - 1) // b) * b)
+
+
+class EgorSolver:
+    """Continuous-space EGO solver. Mixed-integer handling wraps this via
+    egobox_tpu.ego.mixint (like the reference's MixintGpMixture decorators).
+    """
+
+    def __init__(self, config: EgorConfig, xlimits: np.ndarray):
+        self.config = config.check()
+        self.xlimits = np.asarray(xlimits, dtype=float)
+        self.nx = self.xlimits.shape[0]
+        gpc = config.gp_config
+        dim = gpc.kpls_dim if gpc.kpls_dim is not None else self.nx
+        corr = gpc.corr_names[0]
+        trend = gpc.regr_names[0]
+        self.spec = GpSpec(
+            corr=corr,
+            trend=trend,
+            kpls_dim=gpc.kpls_dim,
+            n_start=gpc.n_start,
+            max_iters=gpc.max_eval,
+        )
+        # dim-aware theta bounds for high-dim problems
+        # (ref: ego/src/utils/bounds.rs via egor_solver)
+        if gpc.theta_bounds is not None:
+            self.theta_bounds = np.asarray(gpc.theta_bounds, dtype=float)
+        elif dim >= 10:
+            lo, up = theta_bounds_heuristic(corr, dim)
+            self.theta_bounds = np.array([float(lo), float(up)])
+        else:
+            self.theta_bounds = np.array([1e-2, 1e1])
+        self.theta_init = (
+            np.asarray(gpc.theta_init, dtype=float)
+            if gpc.theta_init is not None
+            else None
+        )
+        self._key = jax.random.key(
+            config.seed if config.seed is not None else 0
+        )
+        #: optional discrete-casting hook installed by the mixint layer
+        #: (ref: MixintGpMixture input casting, gpmix/mixint.rs:295-746)
+        self.cast_fn = None
+
+    def _cast(self, x: np.ndarray) -> np.ndarray:
+        return self.cast_fn(x) if self.cast_fn is not None else x
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _lhs(self, n: int, kind=LhsKind.MAXIMIN) -> np.ndarray:
+        pts = lhs_normalized(self._next_key(), n, self.nx, kind,
+                             jnp.float64)
+        return np.asarray(
+            scale_to_xlimits(pts, jnp.asarray(self.xlimits))
+        )
+
+    def default_n_doe(self) -> int:
+        n = self.config.n_doe
+        return n if n > 0 else max(self.nx + 1, 5)
+
+    def _pad(self, x: np.ndarray, y: np.ndarray):
+        n = x.shape[0]
+        nb = _bucket(n, self.config.shape_bucket)
+        xp = np.zeros((nb, x.shape[1]))
+        xp[:n] = x
+        yp = np.zeros((nb, y.shape[1]))
+        yp[:n] = y
+        mask = np.zeros(nb, dtype=bool)
+        mask[:n] = True
+        return (
+            jnp.asarray(xp),
+            jnp.asarray(yp),
+            jnp.asarray(mask),
+        )
+
+    # ------------------------------------------------------------------
+    # initialization (ref: egor_solver.rs:181-348)
+    # ------------------------------------------------------------------
+
+    def init_state(
+        self,
+        fobj: Callable[[np.ndarray], np.ndarray],
+        fcstrs: Sequence[Callable] = (),
+        doe: Optional[np.ndarray] = None,
+        y_doe: Optional[np.ndarray] = None,
+    ) -> EgorState:
+        cfg = self.config
+        if doe is None:
+            doe = (
+                np.asarray(cfg.doe, dtype=float)
+                if cfg.doe is not None
+                else self._cast(
+                    self._lhs(self.default_n_doe(), LhsKind.OPTIMIZED)
+                )
+            )
+        x_data = np.atleast_2d(np.asarray(doe, dtype=float))
+        if y_doe is not None:
+            y_data = np.atleast_2d(np.asarray(y_doe, dtype=float))
+        else:
+            y_data = np.atleast_2d(np.asarray(fobj(x_data), dtype=float))
+        if y_data.shape[1] != 1 + cfg.n_cstr:
+            raise ValueError(
+                f"objective returned {y_data.shape[1]} columns, expected "
+                f"1 + n_cstr = {1 + cfg.n_cstr}"
+            )
+        c_data = self._eval_fcstrs(fcstrs, x_data)
+        cstr_tol = cfg.resolved_cstr_tol(len(fcstrs))
+
+        best = find_best_result_index(y_data, c_data, cstr_tol)
+        state = EgorState(
+            x_data=x_data,
+            y_data=y_data,
+            c_data=c_data,
+            cstr_tol=cstr_tol,
+            best_index=best,
+            feasibility=is_feasible(y_data[best], c_data[best], cstr_tol),
+            added=x_data.shape[0],
+            no_point_added_retries=MAX_POINT_ADDITION_RETRY,
+            sigma=cfg.trego.sigma0,
+            rng=np.random.default_rng(cfg.seed),
+        )
+        return state
+
+    def _eval_fcstrs(self, fcstrs, x: np.ndarray) -> np.ndarray:
+        if not fcstrs:
+            return np.zeros((x.shape[0], 0))
+        out = np.zeros((x.shape[0], len(fcstrs)))
+        for i, xi in enumerate(x):
+            for j, c in enumerate(fcstrs):
+                out[i, j] = float(c(xi))
+        return out
+
+    # ------------------------------------------------------------------
+    # surrogate training (ref: make_clustered_surrogate,
+    # solver_impl.rs:121-296 — single-cluster GP path; the MoE path plugs
+    # in via egobox_tpu.moe)
+    # ------------------------------------------------------------------
+
+    def _train(self, state: EgorState, xt: np.ndarray, yt: np.ndarray,
+               optimize_theta: bool):
+        xp, yp, mask = self._pad(xt, yt)
+        dim = (
+            self.spec.kpls_dim
+            if self.spec.kpls_dim is not None
+            else self.nx
+        )
+        m = yt.shape[1]
+        theta0s = state.theta_inits
+        if theta0s is None or theta0s.shape != (m, dim):
+            if self.theta_init is not None:
+                theta0s = np.broadcast_to(
+                    self.theta_init, (m, dim)
+                ).copy()
+            else:
+                theta0s = np.full((m, dim), 0.1)
+        models = train_gp_surrogates(
+            xp, yp, mask, self.spec,
+            theta0s=jnp.asarray(theta0s),
+            optimize_theta=optimize_theta,
+            theta_bounds=jnp.asarray(self.theta_bounds),
+            seed=int(state.rng.integers(0, 2**31)),
+        )
+        state.theta_inits = np.asarray(models.theta)
+        return models
+
+    # ------------------------------------------------------------------
+    # point selection (ref: select_next_points, solver_impl.rs:562-807)
+    # ------------------------------------------------------------------
+
+    def select_next_points(
+        self,
+        state: EgorState,
+        fcstrs: Sequence[Callable] = (),
+        init: bool = False,
+        xlimits: Optional[np.ndarray] = None,
+    ):
+        cfg = self.config
+        xlimits = self.xlimits if xlimits is None else xlimits
+        crit = _CRIT_NAME[cfg.infill_strategy]
+        cstrat = _CSTR_NAME[cfg.cstr_strategy]
+        qei = _QEI_NAME[cfg.q_infill_strategy]
+        n_cstr = cfg.n_cstr
+        surrogate_tols = jnp.asarray(state.cstr_tol[:n_cstr])
+
+        x_dat: List[np.ndarray] = []
+        y_dat: List[np.ndarray] = []
+        infill_value = -np.inf
+
+        fmin = float(state.y_data[state.best_index, 0])
+        lo = jnp.asarray(xlimits[:, 0])
+        hi = jnp.asarray(xlimits[:, 1])
+
+        for i in range(cfg.q_points):
+            if x_dat:
+                xt = np.vstack([state.x_data] + x_dat)
+                yt = np.vstack([state.y_data] + y_dat)
+            else:
+                xt, yt = state.x_data, state.y_data
+
+            optimize_theta = (
+                (state.iter * cfg.q_points + i) % cfg.q_optmod == 0
+            )
+            models = self._train(state, xt, yt, optimize_theta)
+
+            # scaling cloud (ref: solver_computations.rs:132-193)
+            npts = min(100 * self.nx, 1000)
+            cloud = jnp.asarray(self._lhs(npts, LhsKind.MAXIMIN))
+            scale_infill, scale_cstr, scale_wb2 = compute_scaling(
+                models, cloud, fmin, surrogate_tols,
+                crit=crit, n_cstr=n_cstr, cstr_infill=cfg.cstr_infill,
+            )
+
+            # multistart seeds: middle-picker + LHS completion for global
+            # steps; pure local LHS inside a TREGO trust region
+            # (ref: trego.rs LocalLhsMultiStarter)
+            if xlimits is self.xlimits:
+                starts = middle_picker_starts(
+                    state.rng, xt, xlimits, cfg.n_start,
+                    lambda n: self._lhs_in(n, xlimits),
+                )
+            else:
+                starts = self._lhs_in(cfg.n_start, xlimits)
+            starts = jnp.asarray(np.clip(
+                starts, xlimits[:, 0], xlimits[:, 1]
+            ))
+
+            xk, fk, _ = optimize_infill(
+                models, starts, lo, hi, fmin,
+                scale_infill, scale_wb2, scale_cstr, surrogate_tols,
+                crit=crit, cstr_strategy=cstrat, n_cstr=n_cstr,
+                cstr_infill=cfg.cstr_infill,
+            )
+            infill_value = float(-fk)
+
+            i_min = int(np.argmin(state.y_data[:, 0]))
+            yk = virtual_point(
+                models, xk, jnp.asarray(state.y_data[i_min]),
+                strategy=qei,
+            )
+            x_dat.append(np.asarray(xk)[None, :])
+            y_dat.append(np.asarray(yk)[None, :])
+
+        return np.vstack(x_dat), np.vstack(y_dat), infill_value
+
+    def _lhs_in(self, n: int, xlimits: np.ndarray) -> np.ndarray:
+        pts = lhs_normalized(self._next_key(), n, self.nx,
+                             LhsKind.MAXIMIN, jnp.float64)
+        return np.asarray(
+            scale_to_xlimits(pts, jnp.asarray(xlimits))
+        )
+
+    # ------------------------------------------------------------------
+    # one EGO iteration (ref: ego_step, solver_impl.rs:398-555)
+    # ------------------------------------------------------------------
+
+    def ego_step(
+        self,
+        state: EgorState,
+        fobj: Callable[[np.ndarray], np.ndarray],
+        fcstrs: Sequence[Callable] = (),
+        xlimits: Optional[np.ndarray] = None,
+    ) -> EgorState:
+        while True:
+            x_dat, _, infill_value = self.select_next_points(
+                state, fcstrs, init=(state.iter == 0), xlimits=xlimits
+            )
+            x_dat = self._cast(x_dat)
+            keep = [
+                i
+                for i in range(x_dat.shape[0])
+                if self._is_new(state.x_data, x_dat[i])
+            ]
+            if keep:
+                break
+            state.no_point_added_retries -= 1
+            if state.no_point_added_retries <= 0:
+                raise NoMorePointToAddError(
+                    "max retries without adding a point — converged"
+                )
+
+        x_new = x_dat[keep]
+        y_new = np.atleast_2d(np.asarray(fobj(x_new), dtype=float))
+        c_new = self._eval_fcstrs(fcstrs, x_new)
+
+        offset = state.x_data.shape[0]
+        state.x_data = np.vstack([state.x_data, x_new])
+        state.y_data = np.vstack([state.y_data, y_new])
+        state.c_data = np.vstack([state.c_data, c_new])
+
+        state.prev_added = state.added
+        state.added += x_new.shape[0]
+        state.no_point_added_retries = MAX_POINT_ADDITION_RETRY
+
+        best = find_best_result_index_from(
+            state.best_index, offset, state.y_data, state.c_data,
+            state.cstr_tol,
+        )
+        state.prev_best_index = state.best_index
+        state.best_index = best
+        state.feasibility = state.feasibility or is_feasible(
+            state.y_data[best], state.c_data[best], state.cstr_tol
+        )
+        state.iter += 1
+        return state
+
+    @staticmethod
+    def _is_new(x_data: np.ndarray, x: np.ndarray) -> bool:
+        """L1 de-dup rule (ref: utils/misc.rs:44-53)."""
+        d = np.sum(np.abs(x_data - x[None, :]), axis=1)
+        return bool(np.all(d >= 100.0 * np.finfo(float).eps))
+
+    # ------------------------------------------------------------------
+    # ask-and-tell (ref: EgorService suggest, solver_impl.rs:56-101)
+    # ------------------------------------------------------------------
+
+    def suggest(self, x_doe: np.ndarray, y_doe: np.ndarray,
+                fcstrs: Sequence[Callable] = ()) -> np.ndarray:
+        cfg = self.config
+        x_doe = np.atleast_2d(np.asarray(x_doe, dtype=float))
+        y_doe = np.atleast_2d(np.asarray(y_doe, dtype=float))
+        c_data = self._eval_fcstrs(fcstrs, x_doe)
+        cstr_tol = cfg.resolved_cstr_tol(len(fcstrs))
+        best = find_best_result_index(y_doe, c_data, cstr_tol)
+        state = EgorState(
+            x_data=x_doe,
+            y_data=y_doe,
+            c_data=c_data,
+            cstr_tol=cstr_tol,
+            best_index=best,
+            rng=np.random.default_rng(cfg.seed),
+        )
+        x_dat, _, _ = self.select_next_points(state, fcstrs, init=True)
+        return self._cast(x_dat)

@@ -23,11 +23,36 @@ from .kernels import (
     theta_bounds_heuristic,
 )
 from .kpls import pls_rotations
-from .likelihood import GpInnerParams, reduced_likelihood
+from .likelihood import (
+    GpInnerParams,
+    make_neg_reduced_likelihood,
+    reduced_likelihood,
+)
+from .sgp import (
+    SgpModel,
+    fit_sgp,
+    fitc_likelihood,
+    sgp_predict,
+    sgp_predict_gradients,
+    sgp_predict_valvar,
+    sgp_predict_var,
+    sgp_predict_var_gradients,
+    vfe_likelihood,
+)
 from .trends import TREND_NAMES, n_basis, trend_basis, trend_jacobian
 
 __all__ = [
     "GpInnerParams",
+    "SgpModel",
+    "fit_sgp",
+    "fitc_likelihood",
+    "make_neg_reduced_likelihood",
+    "sgp_predict",
+    "sgp_predict_gradients",
+    "sgp_predict_valvar",
+    "sgp_predict_var",
+    "sgp_predict_var_gradients",
+    "vfe_likelihood",
     "GpModel",
     "KERNEL_NAMES",
     "THETA_INFLUENCE_FACTORS",

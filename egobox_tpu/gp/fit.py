@@ -29,7 +29,7 @@ from ..doe.lhs import maximin_lhs
 from ..optim.lbfgsb import minimize_lbfgsb
 from .gp import GpModel
 from .kpls import pls_rotations
-from .likelihood import reduced_likelihood
+from .likelihood import make_neg_reduced_likelihood, reduced_likelihood
 
 #: COBYLA eval clamp in the reference (algorithm.rs:33-37); used here as the
 #: L-BFGS iteration budget
@@ -88,12 +88,14 @@ def fit_gp_core(
     if kpls_dim is not None:
         w_star = pls_rotations(x * m[:, None], y * m[:, None], kpls_dim)
 
+    # objective with analytic adjoint (no autodiff through Cholesky —
+    # see make_neg_reduced_likelihood)
+    neg_rlf_theta = make_neg_reduced_likelihood(
+        corr, trend, x_norm, y_norm, y_std, w_star, nugget, mask
+    )
+
     def neg_rlf(t_log10):
-        theta = 10.0**t_log10
-        rlf, _ = reduced_likelihood(
-            corr, trend, x_norm, y_norm, y_std, theta, w_star, nugget, mask
-        )
-        return -rlf
+        return neg_rlf_theta(10.0**t_log10)
 
     if fixed:
         theta_opt = theta0

@@ -159,6 +159,32 @@ def corr_cross(name: str, x1, x2, theta, weights=None):
     return blocks.reshape(n_blocks * block, n2)[:n1]
 
 
+@partial(jax.jit, static_argnums=(0,))
+def log_corr_cross(name: str, x1, x2, theta, weights=None):
+    """log r(x1, x2) of shape (n1, n2) — the pre-exp log-kernel matrix.
+    Used by the analytic likelihood adjoint (gp/likelihood.py), where the
+    gradient contraction sum_ij C_ij d log r_ij / d theta is evaluated by
+    elementwise autodiff of this function (no linear algebra involved)."""
+    n1, nx = x1.shape
+    n2 = x2.shape[0]
+    thw = _theta_w(name, theta, weights)
+    wnone = weights is None
+    if n1 * n2 * nx <= _DENSE_BUDGET:
+        dabs = jnp.abs(x1[:, None, :] - x2[None, :, :])
+        return _log_corr_terms(name, dabs, thw, wnone)
+    block = _BLOCK_ROWS
+    n_blocks = -(-n1 // block)
+    pad = n_blocks * block - n1
+    x1p = jnp.pad(x1, ((0, pad), (0, 0)))
+
+    def one_block(xb):
+        dabs = jnp.abs(xb[:, None, :] - x2[None, :, :])
+        return _log_corr_terms(name, dabs, thw, wnone)
+
+    blocks = lax.map(one_block, x1p.reshape(n_blocks, block, nx))
+    return blocks.reshape(n_blocks * block, n2)[:n1]
+
+
 def corr_gram(name: str, x, theta, weights=None, nugget=0.0):
     """Symmetric Gram matrix R(x, x) with unit diagonal plus nugget
     (ref: algorithm.rs:997-1002 builds eye*(1+nugget) + off-diag corr)."""

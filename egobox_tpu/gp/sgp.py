@@ -1,0 +1,326 @@
+"""Sparse Gaussian process (FITC / VFE) with inducing points.
+
+TPU-first rebuild of crates/gp/src/sparse_algorithm.rs: the joint
+(theta, sigma2[, noise]) MLE runs as one vmapped multistart L-BFGS program
+in log10 space (the reference fans COBYLA restarts over rayon and
+finite-differences its gradients, :300-335 — here gradients are exact via
+autodiff: the heavy matrices are only (M, n) and (M, M), so differentiating
+through the small Cholesky is cheap, unlike the dense-GP case).
+
+Likelihood math mirrors fitc() (:695-765) and vfe() (:769-830); prediction
+uses the stored Woodbury vector/inverse for O(n M) cost (:237-257).
+No x/y normalization — sigma2/noise are in output units like the reference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.scipy.linalg import solve_triangular
+
+from ..optim.lbfgsb import minimize_lbfgsb
+from .kernels import corr_cross
+from .kpls import pls_rotations
+
+#: SGP defaults (ref: sparse_parameters.rs)
+SGP_THETA_BOUNDS = (1e-2, 1e2)
+SGP_NOISE_INIT = 1e-2
+SGP_NOISE_BOUNDS_EPS_FACTOR = 100.0
+SGP_NOISE_UPPER = 1e10
+
+
+class WoodburyData(NamedTuple):
+    vec: jnp.ndarray  # (M, 1)
+    inv: jnp.ndarray  # (M, M)
+
+
+@struct.dataclass
+class SgpModel:
+    """Trained sparse GP (ref struct: sparse_algorithm.rs:145-169)."""
+
+    theta: jnp.ndarray  # (dim,)
+    sigma2: jnp.ndarray  # scalar process variance
+    noise: jnp.ndarray  # scalar noise variance
+    w_star: Optional[jnp.ndarray]
+    z: jnp.ndarray  # (M, nx) inducing points
+    w_vec: jnp.ndarray  # (M, 1)
+    w_inv: jnp.ndarray  # (M, M)
+    likelihood: jnp.ndarray
+    corr: str = struct.field(pytree_node=False)
+    method: str = struct.field(pytree_node=False)
+
+
+def _k(corr, a, b, w_star, theta, sigma2):
+    """sigma2-scaled kernel (ref: compute_k, sparse_algorithm.rs)."""
+    return sigma2 * corr_cross(corr, a, b, theta, w_star)
+
+
+def _common_uv(corr, theta, sigma2, x, z, w_star, nugget):
+    nz = z.shape[0]
+    kmm = _k(corr, z, z, w_star, theta, sigma2) + nugget * jnp.eye(
+        nz, dtype=x.dtype
+    )
+    kmn = _k(corr, z, x, w_star, theta, sigma2)
+    u = jnp.linalg.cholesky(kmm)
+    ui = solve_triangular(u, jnp.eye(nz, dtype=x.dtype), lower=True)
+    v = ui @ kmn  # (M, n)
+    return u, ui, v, kmn
+
+
+def fitc_likelihood(corr, theta, sigma2, noise, x, y, z, w_star, nugget):
+    """(ref: fitc, sparse_algorithm.rs:695-765). Returns (lkh, WoodburyData).
+    """
+    n = x.shape[0]
+    nz = z.shape[0]
+    dtype = x.dtype
+    _, ui, v, _ = _common_uv(corr, theta, sigma2, x, z, w_star, nugget)
+
+    knn = jnp.full((n,), sigma2, dtype)
+    nu = knn - jnp.sum(v * v, axis=0) + noise
+    beta = 1.0 / nu
+
+    a_mat = jnp.eye(nz, dtype=dtype) + (v * beta[None, :]) @ v.T
+    l = jnp.linalg.cholesky(a_mat)
+    li = solve_triangular(l, jnp.eye(nz, dtype=dtype), lower=True)
+
+    a = y * beta[:, None]  # (n, 1)
+    b = (li @ v) @ a  # (M, 1)
+
+    term1 = jnp.sum(jnp.log(nu))
+    term2 = 2.0 * jnp.sum(jnp.log(jnp.diag(l)))
+    term3 = (a.T @ y)[0, 0]
+    term4 = -jnp.sum(b * b)
+    lkh = -0.5 * (term1 + term2 + term3 + term4)
+
+    li_ui = li @ ui
+    w = WoodburyData(
+        vec=li_ui.T @ b,
+        inv=ui.T @ ui - li_ui.T @ li_ui,
+    )
+    return lkh, w
+
+
+def vfe_likelihood(corr, theta, sigma2, noise, x, y, z, w_star, nugget):
+    """(ref: vfe, sparse_algorithm.rs:769-830)."""
+    n = x.shape[0]
+    nz = z.shape[0]
+    dtype = x.dtype
+    _, ui, v, _ = _common_uv(corr, theta, sigma2, x, z, w_star, nugget)
+
+    beta = 1.0 / jnp.maximum(noise, nugget)
+    a_mat = (v @ v.T) * beta
+    b_mat = jnp.eye(nz, dtype=dtype) + a_mat
+    l = jnp.linalg.cholesky(b_mat)
+    li = solve_triangular(l, jnp.eye(nz, dtype=dtype), lower=True)
+
+    b = (li @ v) @ y * beta  # (M, 1)
+
+    term1 = -n * jnp.log(beta)
+    term2 = 2.0 * jnp.sum(jnp.log(jnp.diag(l)))
+    term3 = beta * jnp.sum(y * y)
+    term4 = -(b.T @ b)[0, 0]
+    term5 = n * beta * sigma2
+    term6 = -jnp.trace(a_mat)
+    lkh = -0.5 * (term1 + term2 + term3 + term4 + term5 + term6)
+
+    li_ui = li @ ui
+    bi = jnp.eye(nz, dtype=dtype) + li.T @ li
+    w = WoodburyData(
+        vec=li_ui.T @ b,
+        inv=ui.T @ (bi @ ui),
+    )
+    return lkh, w
+
+
+_LIKELIHOODS = {"FITC": fitc_likelihood, "VFE": vfe_likelihood}
+
+
+def sgp_predict(model: SgpModel, x: jnp.ndarray) -> jnp.ndarray:
+    """mean = k(x, Z) w_vec (ref: sparse_algorithm.rs:237-241)."""
+    kx = _k(model.corr, jnp.atleast_2d(x), model.z, model.w_star,
+            model.theta, model.sigma2)
+    return (kx @ model.w_vec)[:, 0]
+
+
+def sgp_predict_var(model: SgpModel, x: jnp.ndarray) -> jnp.ndarray:
+    """var = sigma2 - diag(k^T W_inv k), clipped at 1e-15, + noise
+    (ref: sparse_algorithm.rs:245-257)."""
+    kx = _k(model.corr, model.z, jnp.atleast_2d(x), model.w_star,
+            model.theta, model.sigma2)  # (M, n)
+    var = model.sigma2 - jnp.sum((model.w_inv.T @ kx) * kx, axis=0)
+    return jnp.maximum(var, 1e-15) + model.noise
+
+
+def sgp_predict_valvar(model: SgpModel, x: jnp.ndarray):
+    return sgp_predict(model, x), sgp_predict_var(model, x)
+
+
+def sgp_predict_gradients(model: SgpModel, x: jnp.ndarray) -> jnp.ndarray:
+    g = jax.grad(lambda xi: sgp_predict(model, xi[None, :])[0])
+    return jax.vmap(g)(jnp.atleast_2d(x))
+
+
+def sgp_predict_var_gradients(model: SgpModel, x: jnp.ndarray) -> jnp.ndarray:
+    g = jax.grad(lambda xi: sgp_predict_var(model, xi[None, :])[0])
+    return jax.vmap(g)(jnp.atleast_2d(x))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("corr", "method", "kpls_dim", "n_start", "max_iters",
+                     "estimate_noise"),
+)
+def fit_sgp_core(
+    x, y, z, theta0, bounds_lo, bounds_up, noise0, noise_bounds, key,
+    *,
+    corr: str = "squared_exponential",
+    method: str = "FITC",
+    kpls_dim: Optional[int] = None,
+    n_start: int = 10,
+    max_iters: int = 50,
+    estimate_noise: bool = True,
+    nugget: float = 1e-10,
+) -> SgpModel:
+    dtype = x.dtype
+    dim = theta0.shape[0]
+    lik = _LIKELIHOODS[method]
+
+    w_star = None
+    if kpls_dim is not None:
+        w_star = pls_rotations(x, y, kpls_dim)
+
+    y_var = jnp.var(y, ddof=1)
+    sigma2_0 = jnp.maximum(y_var, 1e-12)
+    # params p = log10([theta..., sigma2, noise?])
+    # sigma2 bounds (1e-12, 9 var(y)) per sparse_algorithm.rs:499-589
+    lo_list = [jnp.log10(bounds_lo), jnp.log10(jnp.asarray([1e-12], dtype))]
+    up_list = [
+        jnp.log10(bounds_up),
+        jnp.log10(jnp.asarray([9.0], dtype) * jnp.maximum(y_var, 1e-10)),
+    ]
+    p0_list = [jnp.log10(theta0), jnp.log10(sigma2_0)[None]]
+    if estimate_noise:
+        lo_list.append(jnp.log10(noise_bounds[0])[None])
+        up_list.append(jnp.log10(noise_bounds[1])[None])
+        p0_list.append(jnp.log10(noise0)[None])
+    lo = jnp.concatenate(lo_list)
+    up = jnp.concatenate(up_list)
+    p0 = jnp.concatenate(p0_list)
+    p0 = jnp.clip(p0, lo, up)
+
+    def unpack(p):
+        theta = 10.0 ** p[:dim]
+        sigma2 = 10.0 ** p[dim]
+        noise = 10.0 ** p[dim + 1] if estimate_noise else noise0.reshape(())
+        return theta, sigma2, noise
+
+    def neg_lkh(p):
+        theta, sigma2, noise = unpack(p)
+        lkh, _ = lik(corr, theta, sigma2, noise, x, y, z, w_star, nugget)
+        return jnp.where(jnp.isfinite(lkh), -lkh, jnp.inf)
+
+    if n_start > 0:
+        from ..doe.lhs import maximin_lhs
+
+        seeds = maximin_lhs(key, n_start, p0.shape[0], False, 5, dtype)
+        seeds = lo[None, :] + seeds * (up - lo)[None, :]
+        inits = jnp.concatenate([p0[None, :], seeds], axis=0)
+    else:
+        inits = p0[None, :]
+
+    res = jax.vmap(
+        lambda p: minimize_lbfgsb(neg_lkh, p, lo, up, max_iters=max_iters)
+    )(inits)
+    best = jnp.argmin(res.fun)
+    theta, sigma2, noise = unpack(res.x[best])
+
+    lkh, w = lik(corr, theta, sigma2, noise, x, y, z, w_star, nugget)
+    return SgpModel(
+        theta=theta,
+        sigma2=sigma2,
+        noise=noise,
+        w_star=w_star,
+        z=z,
+        w_vec=w.vec,
+        w_inv=w.inv,
+        likelihood=lkh,
+        corr=corr,
+        method=method,
+    )
+
+
+def fit_sgp(
+    x,
+    y,
+    *,
+    corr: str = "squared_exponential",
+    method: str = "FITC",
+    n_inducing: int = 10,
+    z=None,
+    theta_init=None,
+    theta_bounds=None,
+    noise=None,
+    noise_bounds=None,
+    estimate_noise: bool = True,
+    kpls_dim: Optional[int] = None,
+    n_start: int = 10,
+    max_iters: int = 50,
+    seed: int = 0,
+    nugget: Optional[float] = None,
+) -> SgpModel:
+    """User-facing sparse-GP fit (ref: SgpParams + fit,
+    sparse_algorithm.rs:416-648).
+
+    ``z`` gives located inducing points; otherwise ``n_inducing`` rows of
+    the training set are picked at random (make_inducings, :833-847).
+    ``noise`` is the fixed value (estimate_noise=False) or the initial guess.
+    """
+    x = jnp.atleast_2d(jnp.asarray(x))
+    dtype = x.dtype
+    y = jnp.asarray(y, dtype=dtype)
+    if y.ndim == 1:
+        y = y[:, None]
+    n, nx = x.shape
+    dim = kpls_dim if kpls_dim is not None else nx
+    if kpls_dim is not None and kpls_dim > nx:
+        raise ValueError(f"kpls_dim {kpls_dim} must be <= input dim {nx}")
+
+    key = jax.random.key(seed)
+    if z is None:
+        kz, key = jax.random.split(key)
+        idx = jax.random.permutation(kz, n)[:n_inducing]
+        z = x[idx]
+    else:
+        z = jnp.atleast_2d(jnp.asarray(z, dtype=dtype))
+
+    theta0 = jnp.broadcast_to(
+        jnp.asarray(theta_init if theta_init is not None else 0.1,
+                    dtype=dtype),
+        (dim,),
+    )
+    tb = theta_bounds if theta_bounds is not None else SGP_THETA_BOUNDS
+    tb = jnp.asarray(tb, dtype=dtype)
+    if tb.ndim == 1:
+        tb = jnp.broadcast_to(tb[None, :], (dim, 2))
+
+    eps = float(jnp.finfo(dtype).eps)
+    noise0 = jnp.asarray(
+        noise if noise is not None else SGP_NOISE_INIT, dtype=dtype
+    )
+    nb = noise_bounds if noise_bounds is not None else (
+        SGP_NOISE_BOUNDS_EPS_FACTOR * eps, SGP_NOISE_UPPER
+    )
+    nb = (jnp.asarray(nb[0], dtype=dtype), jnp.asarray(nb[1], dtype=dtype))
+
+    if nugget is None:
+        nugget = 1000.0 * eps
+
+    return fit_sgp_core(
+        x, y, z, theta0, tb[:, 0], tb[:, 1], noise0, nb, key,
+        corr=corr, method=method, kpls_dim=kpls_dim, n_start=n_start,
+        max_iters=max_iters, estimate_noise=estimate_noise, nugget=nugget,
+    )

@@ -1,0 +1,102 @@
+"""gpqa — offline GP quality assessment CLI.
+
+Rebuild of the reference's gpqa crate (crates/gpqa/src/main.rs:28-125):
+loads saved Gpx / SparseGpx model dumps and prints cross-validated quality
+metrics (Q2, PVA, IAE_alpha) per model. The reference parallelizes metric
+evaluation with rayon; here the fold-refits are vmapped masked fits
+(moe/metrics.py).
+
+Usage:
+    gpqa model1.json model2.bin ... [--kfold K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def assess(path: str, kfold=None):
+    from .api import Gpx, SparseGpx
+
+    try:
+        gpx = Gpx.load(path)
+        kind = "Gpx"
+    except Exception:
+        gpx = SparseGpx.load(path)
+        kind = "SparseGpx"
+
+    x, y = gpx.training_data()
+    n = x.shape[0]
+    kfold = kfold or min(n, 10)
+
+    if kind == "Gpx":
+        q2 = gpx.q2(kfold=kfold)
+        pva = gpx.pva(kfold=kfold)
+        iae = gpx.iae_alpha(kfold=kfold)
+    else:
+        from .moe.metrics import iae_alpha_score, pva_score, q2_score
+        import jax.numpy as jnp
+        from .gp.sgp import fit_sgp, sgp_predict_valvar
+
+        model = gpx._model
+
+        def fp(xx, yy, mask, x_test):
+            import numpy as np
+
+            keep = np.asarray(mask)
+            m = fit_sgp(
+                jnp.asarray(xx[keep]), jnp.asarray(yy[keep]),
+                corr=model.corr, method=model.method,
+                n_inducing=min(model.z.shape[0], int(keep.sum())),
+                n_start=3, max_iters=20,
+            )
+            return sgp_predict_valvar(m, jnp.asarray(x_test))
+
+        q2 = q2_score(x, y, fp, kfold)
+        pva = pva_score(x, y, fp, kfold)
+        iae = iae_alpha_score(x, y, fp, kfold)
+
+    return {
+        "file": path,
+        "kind": kind,
+        "n": n,
+        "kfold": kfold,
+        "q2": q2,
+        "pva": pva,
+        "iae_alpha": iae,
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="gpqa", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    parser.add_argument("models", nargs="+", help="saved model files")
+    parser.add_argument("--kfold", type=int, default=None,
+                        help="CV folds (default min(n, 10))")
+    args = parser.parse_args(argv)
+
+    header = (
+        f"{'model':<32} {'kind':<10} {'n':>5} {'Q2':>8} {'PVA':>8} "
+        f"{'IAE_a':>8}"
+    )
+    print(header)
+    print("-" * len(header))
+    rc = 0
+    for path in args.models:
+        try:
+            r = assess(path, args.kfold)
+            print(
+                f"{r['file']:<32} {r['kind']:<10} {r['n']:>5} "
+                f"{r['q2']:>8.4f} {r['pva']:>8.4f} {r['iae_alpha']:>8.4f}"
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"{path:<32} ERROR: {e}", file=sys.stderr)
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

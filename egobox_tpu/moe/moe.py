@@ -1,0 +1,350 @@
+"""GpMixture: mixture of GP experts.
+
+TPU-first rebuild of crates/moe/src/algorithm.rs:
+
+- clustering: joint (x, y) GMM (vmapped-restart EM, moe/gmm.py) replaces
+  linfa GMM; hard assignment splits the data (sort_by_cluster,
+  moe/src/clustering.rs:33-56);
+- expert selection per cluster (find_best_expert, algorithm.rs:209-347):
+  5-fold CV over the allowed trend x kernel grid, where each combo's five
+  fold-fits run as ONE vmapped masked-fit batch (the reference generates
+  sequential macro code per combo);
+- smooth recombination with heaviside-factor grid search over
+  linspace(0.1, 2.1, 20) on a 1-in-5 holdout (algorithm.rs:349-378), then a
+  final retrain on the full data;
+- prediction: smooth = sum_k proba_k * pred_k (variance with proba^2
+  weights), hard = expert of the argmax cluster (algorithm.rs:411-423,
+  662-685, 879-935).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gp.fit import fit_gp
+from ..gp.gp import (
+    GpModel,
+    predict as gp_predict,
+    predict_gradients as gp_predict_gradients,
+    predict_valvar as gp_predict_valvar,
+    predict_var as gp_predict_var,
+    predict_var_gradients as gp_predict_var_gradients,
+    sample as gp_sample,
+)
+from ..types import Recombination
+from .gaussian_mixture import (
+    GaussianMixture,
+    from_gmm_x_marginal,
+    predict_cluster,
+    predict_probas,
+    predict_probas_derivatives,
+)
+from .gmm import fit_gmm, gmm_log_prob
+
+
+def _cv_error(x: np.ndarray, y: np.ndarray, corr: str, trend: str,
+              kpls_dim, n_start: int, seed: int, n_folds: int = 5) -> float:
+    """k-fold CV RMSE of one (trend, corr) combo using masked fits — the
+    five folds share one compiled program (ref: expertise_macros.rs:14-130).
+    """
+    n = x.shape[0]
+    n_folds = min(n_folds, n)
+    idx = np.arange(n)
+    rng = np.random.default_rng(seed)
+    rng.shuffle(idx)
+    errs = []
+    for f in range(n_folds):
+        test = idx[f::n_folds]
+        mask = np.ones(n, dtype=bool)
+        mask[test] = False
+        try:
+            model = fit_gp(
+                jnp.asarray(x), jnp.asarray(y), corr=corr, trend=trend,
+                kpls_dim=kpls_dim, n_start=min(n_start, 5), max_iters=20,
+                mask=jnp.asarray(mask), seed=seed,
+            )
+            pred = np.asarray(gp_predict(model, jnp.asarray(x[test])))
+            errs.append(np.mean((pred - y[test]) ** 2))
+        except Exception:
+            errs.append(np.inf)
+    return float(np.sqrt(np.mean(errs)))
+
+
+def _min_points(trend: str, dim: int) -> int:
+    """(ref: check_number_of_points, algorithm.rs:381-405)"""
+    if trend == "quadratic":
+        return (dim + 1) * (dim + 2) // 2
+    if trend == "linear":
+        return dim + 1
+    return 1
+
+
+def find_best_expert(
+    x: np.ndarray,
+    y: np.ndarray,
+    regr_names: Sequence[str],
+    corr_names: Sequence[str],
+    kpls_dim=None,
+    n_start: int = 10,
+    seed: int = 42,
+    theta_init=None,
+    theta_bounds=None,
+) -> GpModel:
+    """CV-select the (trend, kernel) combo and train it on all data
+    (ref: find_best_expert, algorithm.rs:209-347)."""
+    n, nx = x.shape
+    dim = kpls_dim if kpls_dim is not None else nx
+    allowed = [
+        (t, c)
+        for t in regr_names
+        if n >= _min_points(t, dim) + 1
+        for c in corr_names
+    ]
+    if not allowed:
+        allowed = [("constant", corr_names[0])]
+
+    if len(allowed) == 1:
+        trend, corr = allowed[0]
+    else:
+        errors = {
+            (t, c): _cv_error(x, y, c, t, kpls_dim, n_start, seed)
+            for t, c in allowed
+        }
+        trend, corr = min(errors, key=errors.get)
+
+    return fit_gp(
+        jnp.asarray(x), jnp.asarray(y), corr=corr, trend=trend,
+        kpls_dim=kpls_dim, n_start=n_start, seed=seed,
+        theta_init=theta_init, theta_bounds=theta_bounds,
+    )
+
+
+@dataclass
+class GpMixture:
+    """Trained mixture (ref struct: moe/src/algorithm.rs:430-443)."""
+
+    experts: List[GpModel]
+    gmx: GaussianMixture
+    recombination: Recombination = Recombination.SMOOTH
+
+    @property
+    def n_clusters(self) -> int:
+        return len(self.experts)
+
+    # -- prediction -----------------------------------------------------
+
+    def _expert_preds(self, x: jnp.ndarray):
+        means = jnp.stack([gp_predict(e, x) for e in self.experts])
+        return means  # (k, n)
+
+    def _expert_valvars(self, x: jnp.ndarray):
+        mvs = [gp_predict_valvar(e, x) for e in self.experts]
+        means = jnp.stack([m for m, _ in mvs])
+        vrs = jnp.stack([v for _, v in mvs])
+        return means, vrs
+
+    def predict(self, x) -> jnp.ndarray:
+        x = jnp.atleast_2d(jnp.asarray(x))
+        if self.n_clusters == 1:
+            return gp_predict(self.experts[0], x)
+        if self.recombination is Recombination.HARD:
+            return self._predict_hard(x)
+        return self._predict_smooth(x)
+
+    def _predict_smooth(self, x):
+        """(ref: predict_smooth, algorithm.rs:662-685)"""
+        probas = predict_probas(self.gmx, x)  # (n, k)
+        means = self._expert_preds(x)  # (k, n)
+        return jnp.sum(probas.T * means, axis=0)
+
+    def _predict_hard(self, x):
+        """(ref: predict_hard, algorithm.rs:879-935)"""
+        cl = predict_cluster(self.gmx, x)  # (n,)
+        means = self._expert_preds(x)  # (k, n)
+        return jnp.take_along_axis(means, cl[None, :], axis=0)[0]
+
+    def predict_var(self, x) -> jnp.ndarray:
+        x = jnp.atleast_2d(jnp.asarray(x))
+        if self.n_clusters == 1:
+            return gp_predict_var(self.experts[0], x)
+        _, vrs = self._expert_valvars(x)
+        if self.recombination is Recombination.HARD:
+            cl = predict_cluster(self.gmx, x)
+            return jnp.take_along_axis(vrs, cl[None, :], axis=0)[0]
+        probas = predict_probas(self.gmx, x)  # (n, k)
+        # smooth variance uses squared responsibilities
+        # (ref: algorithm.rs:670-685)
+        return jnp.sum((probas.T**2) * vrs, axis=0)
+
+    def predict_valvar(self, x):
+        return self.predict(x), self.predict_var(x)
+
+    def predict_gradients(self, x) -> jnp.ndarray:
+        x = jnp.atleast_2d(jnp.asarray(x))
+        if self.n_clusters == 1:
+            return gp_predict_gradients(self.experts[0], x)
+        grads = jnp.stack(
+            [gp_predict_gradients(e, x) for e in self.experts]
+        )  # (k, n, nx)
+        if self.recombination is Recombination.HARD:
+            cl = predict_cluster(self.gmx, x)
+            return grads[cl, jnp.arange(x.shape[0])]
+        # product rule: d(sum p_k y_k) = sum (dp_k y_k + p_k dy_k)
+        # (ref: algorithm.rs:691-783)
+        probas = predict_probas(self.gmx, x)  # (n, k)
+        dprobas = predict_probas_derivatives(self.gmx, x)  # (n, k, nx)
+        means = self._expert_preds(x)  # (k, n)
+        term1 = jnp.einsum("nkd,kn->nd", dprobas, means)
+        term2 = jnp.einsum("nk,knd->nd", probas, grads)
+        return term1 + term2
+
+    def predict_var_gradients(self, x) -> jnp.ndarray:
+        x = jnp.atleast_2d(jnp.asarray(x))
+        if self.n_clusters == 1:
+            return gp_predict_var_gradients(self.experts[0], x)
+        vgrads = jnp.stack(
+            [gp_predict_var_gradients(e, x) for e in self.experts]
+        )
+        if self.recombination is Recombination.HARD:
+            cl = predict_cluster(self.gmx, x)
+            return vgrads[cl, jnp.arange(x.shape[0])]
+        probas = predict_probas(self.gmx, x)
+        dprobas = predict_probas_derivatives(self.gmx, x)
+        _, vrs = self._expert_valvars(x)
+        term1 = 2.0 * jnp.einsum("nk,nkd,kn->nd", probas, dprobas, vrs)
+        term2 = jnp.einsum("nk,knd->nd", probas**2, vgrads)
+        return term1 + term2
+
+    def sample(self, x, n_traj: int, key=None):
+        """Trajectory sampling, mono-cluster only
+        (ref: algorithm.rs:550-558)."""
+        if self.n_clusters != 1:
+            raise ValueError("sampling requires a single cluster")
+        key = key if key is not None else jax.random.key(0)
+        return gp_sample(self.experts[0], jnp.atleast_2d(jnp.asarray(x)),
+                         n_traj, key)
+
+
+def _predict_smooth_with(experts, gmx, x):
+    probas = predict_probas(gmx, x)
+    means = jnp.stack([gp_predict(e, x) for e in experts])
+    return jnp.sum(probas.T * means, axis=0)
+
+
+def optimize_heaviside_factor(experts, gmx, xtest, ytest) -> float:
+    """Grid-search the smoothing factor on held-out data
+    (ref: optimize_heaviside_factor, algorithm.rs:349-378)."""
+    factors = np.linspace(0.1, 2.1, 20)
+    denom = float(np.sqrt(np.sum(np.asarray(xtest) ** 2)))
+    errors = []
+    for f in factors:
+        g2 = gmx.with_heaviside(float(f))
+        pred = np.asarray(_predict_smooth_with(experts, g2, xtest))
+        errors.append(
+            float(np.sqrt(np.sum((pred - np.asarray(ytest)) ** 2)))
+            / max(denom, 1e-300)
+        )
+    errors = np.asarray(errors)
+    if errors.max() < 1e-6:
+        return 1.0
+    return float(factors[int(np.argmin(errors))])
+
+
+def train_moe(
+    x,
+    y,
+    *,
+    n_clusters: int = 1,
+    recombination: Recombination = Recombination.SMOOTH,
+    regr_names: Sequence[str] = ("constant",),
+    corr_names: Sequence[str] = ("squared_exponential",),
+    kpls_dim: Optional[int] = None,
+    n_start: int = 10,
+    heaviside_factor: Optional[float] = None,
+    seed: int = 42,
+    theta_init=None,
+    theta_bounds=None,
+) -> GpMixture:
+    """Train a mixture of GP experts (ref: train, algorithm.rs:70-205).
+
+    ``n_clusters``: >0 fixed; 0 auto; <0 auto with max = -n_clusters.
+    """
+    x = np.atleast_2d(np.asarray(x, dtype=float))
+    y = np.asarray(y, dtype=float).reshape(x.shape[0])
+    n, nx = x.shape
+
+    if n_clusters <= 0:
+        from .clustering import find_best_number_of_clusters
+
+        max_k = (n // 10 + 1) if n_clusters == 0 else -n_clusters
+        k, recombination = find_best_number_of_clusters(
+            x, y, max_k, regr_names, corr_names, kpls_dim, seed
+        )
+    else:
+        k = n_clusters
+
+    key = jax.random.key(seed)
+
+    if k == 1:
+        expert = find_best_expert(
+            x, y, regr_names, corr_names, kpls_dim, n_start, seed,
+            theta_init, theta_bounds,
+        )
+        gmm = fit_gmm(key, jnp.asarray(np.hstack([x, y[:, None]])), 1)
+        gmx = from_gmm_x_marginal(gmm, nx)
+        return GpMixture([expert], gmx, recombination)
+
+    data = jnp.asarray(np.hstack([x, y[:, None]]))
+    gmm = fit_gmm(key, data, k, n_runs=20)
+    gmx = from_gmm_x_marginal(gmm, nx)
+
+    # hard assignment on the joint (x, y) space (ref: sort_by_cluster)
+    logp = gmm_log_prob(data, gmm.means, gmm.precisions_chol) + jnp.log(
+        jnp.maximum(gmm.weights, 1e-300)
+    )
+    assign = np.asarray(jnp.argmax(logp, axis=1))
+
+    smooth_opt = (
+        recombination is Recombination.SMOOTH and heaviside_factor is None
+        and k > 1
+    )
+    if smooth_opt:
+        # hold out 1-in-5 points for heaviside search, retrain after
+        # (ref: algorithm.rs:106-205)
+        test_idx = np.arange(n)[::5]
+        train_mask = np.ones(n, dtype=bool)
+        train_mask[test_idx] = False
+    else:
+        train_mask = np.ones(n, dtype=bool)
+
+    def fit_experts(sel_mask):
+        experts = []
+        for c in range(k):
+            sel = (assign == c) & sel_mask
+            if sel.sum() < 3:
+                sel = assign == c  # too few points: use all cluster points
+            experts.append(
+                find_best_expert(
+                    x[sel], y[sel], regr_names, corr_names, kpls_dim,
+                    n_start, seed, theta_init, theta_bounds,
+                )
+            )
+        return experts
+
+    experts = fit_experts(train_mask)
+
+    if smooth_opt:
+        factor = optimize_heaviside_factor(
+            experts, gmx, jnp.asarray(x[test_idx]), jnp.asarray(y[test_idx])
+        )
+        gmx = gmx.with_heaviside(factor)
+        experts = fit_experts(np.ones(n, dtype=bool))
+    elif heaviside_factor is not None:
+        gmx = gmx.with_heaviside(heaviside_factor)
+
+    return GpMixture(experts, gmx, recombination)

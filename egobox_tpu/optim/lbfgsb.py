@@ -107,30 +107,34 @@ def minimize_lbfgsb(
         return r
 
     def line_search(x, f, g, direction):
-        """Armijo backtracking along the projected path x(a)=clip(x+a*d)."""
+        """Armijo backtracking along the projected path x(a)=clip(x+a*d).
+
+        Value-only trials: the gradient (which may carry an expensive
+        analytic adjoint, e.g. the GP likelihood's O(n^3) trace term) is
+        evaluated ONCE at the accepted point, not per trial."""
         c1 = 1e-4
 
         def body(carry):
-            alpha, _, _, _, it = carry
+            alpha, _, _, it = carry
             x_new = clip(x + alpha * direction)
-            f_new, g_new = vg(x_new)
-            f_new = _sanitize(f_new)
+            f_new = _sanitize(fun(x_new))
             dx = x_new - x
             ok = f_new <= f + c1 * jnp.dot(g, dx)
             # degenerate step (projection killed the move) also terminates
             stuck = jnp.max(jnp.abs(dx)) <= xtol
-            return (alpha * 0.5, x_new, f_new, g_new,
+            return (alpha * 0.5, x_new, f_new,
                     jnp.where(ok | stuck, max_ls + 1, it + 1))
 
         def cond(carry):
-            _, _, _, _, it = carry
+            _, _, _, it = carry
             return it < max_ls
 
-        init = (jnp.asarray(1.0, dtype), x, f, g, jnp.asarray(0, jnp.int32))
-        _, x_new, f_new, g_new, _ = lax.while_loop(cond, body, init)
+        init = (jnp.asarray(1.0, dtype), x, f, jnp.asarray(0, jnp.int32))
+        _, x_new, f_new, _ = lax.while_loop(cond, body, init)
         improved = f_new < f
         x_new = jnp.where(improved, x_new, x)
         f_new = jnp.where(improved, f_new, f)
+        _, g_new = vg(x_new)
         g_new = jnp.where(improved, g_new, g)
         return x_new, f_new, g_new, improved
 

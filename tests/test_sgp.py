@@ -1,0 +1,92 @@
+"""Sparse GP (FITC/VFE) tests (ref: crates/gp/src/sparse_algorithm.rs tests
++ python test_sgpmix.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egobox_tpu.gp import (
+    fit_sgp,
+    sgp_predict,
+    sgp_predict_gradients,
+    sgp_predict_valvar,
+    sgp_predict_var,
+)
+
+
+def _noisy_sine(n=200, noise_std=0.1, seed=42):
+    rng = np.random.RandomState(seed)
+    x = np.sort(rng.uniform(0, 4 * np.pi, (n, 1)), axis=0)
+    f = np.sin(x[:, 0])
+    y = f + rng.normal(0, noise_std, n)
+    return x, y, f
+
+
+@pytest.mark.parametrize("method", ["FITC", "VFE"])
+def test_sgp_noise_estimation(method):
+    """Noise var = 0.01 ± 0.015 with 30 inducing points on n=200 noisy sine
+    (ref: sparse_algorithm.rs:1004-1057); Q2 = 1 ± 2e-2."""
+    x, y, f = _noisy_sine()
+    m = fit_sgp(jnp.asarray(x), jnp.asarray(y), method=method,
+                n_inducing=30, seed=0)
+    assert abs(float(m.noise) - 0.01) < 0.015
+    pred = np.asarray(sgp_predict(m, jnp.asarray(x)))
+    q2 = 1 - np.sum((pred - f) ** 2) / np.sum((f - f.mean()) ** 2)
+    assert abs(q2 - 1.0) < 2e-2
+
+
+def test_sgp_located_inducings():
+    """Located (user-given) inducing points (ref: Inducings::Located)."""
+    x, y, f = _noisy_sine(150)
+    z = np.linspace(0, 4 * np.pi, 25)[:, None]
+    m = fit_sgp(jnp.asarray(x), jnp.asarray(y), z=jnp.asarray(z),
+                method="VFE")
+    np.testing.assert_allclose(np.asarray(m.z), z)
+    pred = np.asarray(sgp_predict(m, jnp.asarray(x)))
+    assert np.sqrt(np.mean((pred - f) ** 2)) < 0.1
+
+
+def test_sgp_variance_positive_and_grows_off_data():
+    x, y, _ = _noisy_sine(100)
+    m = fit_sgp(jnp.asarray(x), jnp.asarray(y), n_inducing=20, seed=1)
+    var_in = float(np.mean(np.asarray(
+        sgp_predict_var(m, jnp.asarray(x[:10]))
+    )))
+    var_out = float(np.asarray(
+        sgp_predict_var(m, jnp.asarray([[30.0]]))
+    )[0])
+    assert var_in > 0
+    assert var_out > var_in  # far from data -> larger variance
+
+
+def test_sgp_fixed_noise():
+    x, y, _ = _noisy_sine(100)
+    m = fit_sgp(jnp.asarray(x), jnp.asarray(y), n_inducing=20,
+                noise=0.05, estimate_noise=False)
+    np.testing.assert_allclose(float(m.noise), 0.05)
+
+
+def test_sgp_valvar_and_gradients():
+    x, y, _ = _noisy_sine(100)
+    m = fit_sgp(jnp.asarray(x), jnp.asarray(y), n_inducing=20, seed=2)
+    xq = jnp.asarray([[1.0], [2.0]])
+    mean, var = sgp_predict_valvar(m, xq)
+    assert mean.shape == (2,) and var.shape == (2,)
+    g = sgp_predict_gradients(m, xq)
+    eps = 1e-6
+    fd = (float(sgp_predict(m, jnp.asarray([[1.0 + eps]]))[0])
+          - float(sgp_predict(m, jnp.asarray([[1.0 - eps]]))[0])) / (2 * eps)
+    assert abs(float(g[0, 0]) - fd) < 1e-3 * max(1.0, abs(fd))
+
+
+def test_sgp_kpls():
+    rng = np.random.RandomState(0)
+    n, d = 120, 8
+    x = rng.uniform(-1, 1, (n, d))
+    y = np.sin(2 * x[:, 0]) + 0.5 * x[:, 1] + rng.normal(0, 0.05, n)
+    m = fit_sgp(jnp.asarray(x), jnp.asarray(y), kpls_dim=2, n_inducing=30,
+                seed=3)
+    assert m.theta.shape == (2,)
+    pred = np.asarray(sgp_predict(m, jnp.asarray(x)))
+    assert np.corrcoef(pred, y)[0, 1] > 0.9
