@@ -23,7 +23,7 @@ from jax import lax
 
 from ..optim.lbfgsb import minimize_lbfgsb
 from .criteria import ei, log_ei, log_pof, pof, wb2, wb2s_scale
-from .surrogates import predict_valvar_cloud, predict_valvar_single
+from .surrogates import surrogate_valvar_cloud, surrogate_valvar_single
 
 CSTR_DOUBT = 3.0
 
@@ -84,7 +84,7 @@ def optimize_infill(
     dtype = starts.dtype
 
     def infill_obj(x):
-        means, vrs = predict_valvar_single(models, x)
+        means, vrs = surrogate_valvar_single(models, x)
         return _infill_obj_terms(
             crit, means, vrs, fmin, scale_infill, scale_wb2, cstr_tols,
             cstr_infill, sigma_weight,
@@ -103,7 +103,7 @@ def optimize_infill(
     else:
 
         def cstr_viol(x):
-            means, vrs = predict_valvar_single(models, x)
+            means, vrs = surrogate_valvar_single(models, x)
             g = means[1:]
             if cstr_strategy == "UTB":
                 g = g + CSTR_DOUBT * jnp.sqrt(jnp.maximum(vrs[1:], 0.0))
@@ -168,7 +168,7 @@ def compute_scaling(
     (ref: compute_scaling, solver_computations.rs:132-193).
     Returns (scale_infill_obj, scale_cstr (n_cstr,), scale_wb2)."""
     dtype = cloud.dtype
-    means, vrs = predict_valvar_cloud(models, cloud)  # (m, p)
+    means, vrs = surrogate_valvar_cloud(models, cloud)  # (m, p)
 
     if crit == "WB2S":
         scale_wb2 = wb2s_scale(means[0], vrs[0], fmin, sigma_weight)
@@ -209,7 +209,7 @@ def compute_scaling(
 def virtual_point(models, xk, y_best_row, *, strategy: str = "KB"):
     """qEI virtual outputs at xk (ref: compute_virtual_point,
     solver_computations.rs:261-292). Returns a (1 + n_cstr,) row."""
-    means, vrs = predict_valvar_single(models, xk)
+    means, vrs = surrogate_valvar_single(models, xk)
     if strategy == "CLMIN":
         return y_best_row
     conf = {"KB": 0.0, "KBLB": -3.0, "KBUB": 3.0}[strategy]

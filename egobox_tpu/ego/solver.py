@@ -202,8 +202,70 @@ class EgorSolver:
     # in via egobox_tpu.moe)
     # ------------------------------------------------------------------
 
+    def have_to_recluster(self, state: EgorState) -> bool:
+        """Auto-clustered surrogates recluster every 10 added points
+        (ref: solver_impl.rs:110-113)."""
+        if self.config.gp_config.n_clusters > 0:
+            return False
+        return (
+            state.clusterings is None
+            or state.added // 10 > state.prev_added // 10
+        )
+
     def _train(self, state: EgorState, xt: np.ndarray, yt: np.ndarray,
                optimize_theta: bool):
+        gpc = self.config.gp_config
+        multi_combo = (
+            len(gpc.regr_names) > 1 or len(gpc.corr_names) > 1
+        )
+        if gpc.n_clusters != 1 or multi_combo:
+            return self._train_moe(state, xt, yt)
+        return self._train_gp_batched(state, xt, yt, optimize_theta)
+
+    def _train_moe(self, state: EgorState, xt: np.ndarray, yt: np.ndarray):
+        """Clustered-mixture surrogates, one GpMixture per output
+        (ref: make_clustered_surrogate, solver_impl.rs:121-296)."""
+        from ..moe.moe import train_moe, train_moe_on_clusters
+
+        gpc = self.config.gp_config
+        m = yt.shape[1]
+        recluster = self.have_to_recluster(state)
+        mixes = []
+        clusterings = [] if recluster or state.clusterings is None else None
+        for k in range(m):
+            if clusterings is not None:
+                mix = train_moe(
+                    xt, yt[:, k],
+                    n_clusters=gpc.n_clusters,
+                    recombination=gpc.recombination,
+                    regr_names=gpc.regr_names,
+                    corr_names=gpc.corr_names,
+                    kpls_dim=gpc.kpls_dim,
+                    n_start=gpc.n_start,
+                    seed=int(state.rng.integers(0, 2**31)),
+                    theta_init=self.theta_init,
+                    theta_bounds=self.theta_bounds,
+                )
+                clusterings.append((mix.gmx, mix.recombination))
+            else:
+                gmx, recomb = state.clusterings[k]
+                mix = train_moe_on_clusters(
+                    xt, yt[:, k], gmx, recomb,
+                    regr_names=gpc.regr_names,
+                    corr_names=gpc.corr_names,
+                    kpls_dim=gpc.kpls_dim,
+                    n_start=gpc.n_start,
+                    seed=int(state.rng.integers(0, 2**31)),
+                    theta_init=self.theta_init,
+                    theta_bounds=self.theta_bounds,
+                )
+            mixes.append(mix)
+        if clusterings is not None:
+            state.clusterings = clusterings
+        return tuple(mix.to_model() for mix in mixes)
+
+    def _train_gp_batched(self, state: EgorState, xt: np.ndarray,
+                          yt: np.ndarray, optimize_theta: bool):
         xp, yp, mask = self._pad(xt, yt)
         dim = (
             self.spec.kpls_dim

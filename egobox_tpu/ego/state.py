@@ -34,6 +34,10 @@ class EgorState:
     prev_best_y: Optional[float] = None
     # CoEGO activity groups (ref: egor_state.rs activity)
     activity: Optional[np.ndarray] = None
+    # per-output (gmx, recombination) clusterings for the MoE surrogate
+    # path (ref: egor_state.rs clusterings); not checkpointed — rebuilt on
+    # resume
+    clusterings: Optional[list] = None
     rng: np.random.Generator = field(
         default_factory=lambda: np.random.default_rng(42)
     )

@@ -104,6 +104,35 @@ def train_gp_surrogates(
     )
 
 
+def surrogate_valvar_single(models, x: jnp.ndarray):
+    """Posterior (means, vars) at ONE point for either surrogate container:
+    a batched GpModel (leading axis = outputs) or a tuple of MoeModel
+    mixtures (one per output). Dispatch happens at trace time."""
+    if isinstance(models, tuple):
+        from ..moe.moe import moe_predict_valvar_single
+
+        pairs = [moe_predict_valvar_single(m, x) for m in models]
+        return (
+            jnp.stack([p[0] for p in pairs]),
+            jnp.stack([p[1] for p in pairs]),
+        )
+    return predict_valvar_single(models, x)
+
+
+def surrogate_valvar_cloud(models, x: jnp.ndarray):
+    """Posterior (means, vars) over a cloud: (m, p) pairs for either
+    surrogate container."""
+    if isinstance(models, tuple):
+        from ..moe.moe import moe_predict_valvar_batch
+
+        pairs = [moe_predict_valvar_batch(m, x) for m in models]
+        return (
+            jnp.stack([p[0] for p in pairs]),
+            jnp.stack([p[1] for p in pairs]),
+        )
+    return predict_valvar_cloud(models, x)
+
+
 def predict_valvar_single(models: GpModel, x: jnp.ndarray):
     """Posterior (means, variances) of every batched model at ONE point
     x (nx,) -> ((m,), (m,)). Used inside the infill criterion."""

@@ -124,6 +124,56 @@ def find_best_expert(
     )
 
 
+from flax import struct
+
+
+@struct.dataclass
+class MoeModel:
+    """jit-friendly pytree form of a trained mixture: experts as pytree
+    children (their corr/trend are static aux data), recombination static.
+    Used inside the jitted EGO infill optimization; the host-facing
+    ``GpMixture`` wraps the same data with a method API."""
+
+    experts: tuple  # Tuple[GpModel, ...]
+    gmx: GaussianMixture
+    smooth: bool = struct.field(pytree_node=False, default=True)
+
+
+def moe_predict_valvar_single(model: MoeModel, x: jnp.ndarray):
+    """(mean, var) of one MoeModel at ONE point x (nx,) — scalar pair.
+    Smooth recombination: mean = sum p_k mu_k, var = sum p_k^2 var_k
+    (ref: algorithm.rs:662-685); hard: argmax-cluster expert."""
+    xq = x[None, :]
+    mvs = [gp_predict_valvar(e, xq) for e in model.experts]
+    means = jnp.stack([m[0] for m, _ in mvs])  # (k,)
+    vrs = jnp.stack([v[0] for _, v in mvs])
+    if len(model.experts) == 1:
+        return means[0], vrs[0]
+    probas = predict_probas(model.gmx, xq)[0]  # (k,)
+    if model.smooth:
+        return jnp.sum(probas * means), jnp.sum(probas**2 * vrs)
+    c = jnp.argmax(probas)
+    return means[c], vrs[c]
+
+
+def moe_predict_valvar_batch(model: MoeModel, x: jnp.ndarray):
+    """(means, vars) of one MoeModel over a cloud x (p, nx) -> ((p,), (p,))."""
+    mvs = [gp_predict_valvar(e, x) for e in model.experts]
+    means = jnp.stack([m for m, _ in mvs])  # (k, p)
+    vrs = jnp.stack([v for _, v in mvs])
+    if len(model.experts) == 1:
+        return means[0], vrs[0]
+    probas = predict_probas(model.gmx, x)  # (p, k)
+    if model.smooth:
+        return (
+            jnp.sum(probas.T * means, axis=0),
+            jnp.sum((probas.T**2) * vrs, axis=0),
+        )
+    c = jnp.argmax(probas, axis=1)  # (p,)
+    take = lambda a: jnp.take_along_axis(a, c[None, :], axis=0)[0]
+    return take(means), take(vrs)
+
+
 @dataclass
 class GpMixture:
     """Trained mixture (ref struct: moe/src/algorithm.rs:430-443)."""
@@ -131,6 +181,13 @@ class GpMixture:
     experts: List[GpModel]
     gmx: GaussianMixture
     recombination: Recombination = Recombination.SMOOTH
+
+    def to_model(self) -> MoeModel:
+        return MoeModel(
+            experts=tuple(self.experts),
+            gmx=self.gmx,
+            smooth=self.recombination is Recombination.SMOOTH,
+        )
 
     @property
     def n_clusters(self) -> int:
@@ -253,6 +310,46 @@ def optimize_heaviside_factor(experts, gmx, xtest, ytest) -> float:
     if errors.max() < 1e-6:
         return 1.0
     return float(factors[int(np.argmin(errors))])
+
+
+def train_moe_on_clusters(
+    x,
+    y,
+    gmx: GaussianMixture,
+    recombination: Recombination = Recombination.SMOOTH,
+    *,
+    regr_names: Sequence[str] = ("constant",),
+    corr_names: Sequence[str] = ("squared_exponential",),
+    kpls_dim: Optional[int] = None,
+    n_start: int = 10,
+    seed: int = 42,
+    theta_init=None,
+    theta_bounds=None,
+) -> GpMixture:
+    """Retrain experts on an EXISTING clustering (ref: train_on_clusters,
+    moe/src/algorithm.rs) — used by the EGO solver between reclusterings."""
+    x = np.atleast_2d(np.asarray(x, dtype=float))
+    y = np.asarray(y, dtype=float).reshape(x.shape[0])
+    k = gmx.n_clusters
+    if k == 1:
+        expert = find_best_expert(
+            x, y, regr_names, corr_names, kpls_dim, n_start, seed,
+            theta_init, theta_bounds,
+        )
+        return GpMixture([expert], gmx, recombination)
+    assign = np.asarray(predict_cluster(gmx, jnp.asarray(x)))
+    experts = []
+    for c in range(k):
+        sel = assign == c
+        if sel.sum() < 3:
+            sel = np.ones(x.shape[0], dtype=bool)
+        experts.append(
+            find_best_expert(
+                x[sel], y[sel], regr_names, corr_names, kpls_dim,
+                n_start, seed, theta_init, theta_bounds,
+            )
+        )
+    return GpMixture(experts, gmx, recombination)
 
 
 def train_moe(

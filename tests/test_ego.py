@@ -196,3 +196,11 @@ def test_kpls_config_runs():
     )
     res = egor.minimize(g24, max_iters=15)
     assert res.y_opt[0] < -4.0  # reference delta is 5e-1 at 30 iters
+
+
+def test_xsinx_with_reclustering():
+    """Auto-clustered (MoE) surrogate path with periodic reclustering
+    (test_egor.py test_xsinx_with_reclustering, GpConfig(n_clusters=0))."""
+    egor = Egor([[0.0, 25.0]], seed=42, gp_config=GpConfig(n_clusters=0))
+    res = egor.minimize(xsinx, max_iters=20)
+    assert abs(res.y_opt[0] - (-15.125)) < 1e-2
