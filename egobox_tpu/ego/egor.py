@@ -29,6 +29,7 @@ from ..types import (
 from .config import EgorConfig, GpConfig, TregoConfig
 from .find_result import find_best_result_index
 from .mixint import MixintContext, parse_xspecs
+from .recorders import RunRecorder, run_recorder_enabled
 from .solver import EgorSolver, NoMorePointToAddError
 from .state import EgorState
 from .trego import trego_step
@@ -151,6 +152,27 @@ class Egor:
         if cfg.hot_start is not None and cfg.hot_start > 0:
             max_iters += int(cfg.hot_start)
 
+        recorder = None
+        if run_recorder_enabled():
+            # structured benchmark-format run log
+            # (ref: utils/run_recorder.rs, hooks egor.rs:299-318)
+            recorder = RunRecorder(
+                problem_metadata={
+                    "dim": self.solver.nx,
+                    "n_cstr": cfg.n_cstr,
+                    "xlimits": self.solver.xlimits.tolist(),
+                    "run_info": None if run_info is None else str(run_info),
+                },
+                algorithm_parameters={
+                    "max_iters": max_iters,
+                    "n_start": cfg.n_start,
+                    "infill_strategy": cfg.infill_strategy.value,
+                    "q_points": cfg.q_points,
+                    "trego": cfg.trego.activated,
+                    "seed": cfg.seed,
+                },
+            )
+
         history = []
         for it in range(start_iter, max_iters):
             try:
@@ -162,11 +184,17 @@ class Egor:
                 break
             xb, yb, _ = state.best()
             history.append(np.concatenate([[yb[0]], xb]))
+            if recorder is not None:
+                recorder.record_iteration(
+                    it, state.x_data[-1:], state.y_data[-1:], xb, yb
+                )
             if outdir:
                 self._observe(outdir, state, history)
             if yb[0] < cfg.target:
                 break
 
+        if recorder is not None and outdir:
+            recorder.save(outdir)
         return self._result(state)
 
     def _init_or_resume(self, wfun, wcstrs, outdir, max_iters):

@@ -30,6 +30,7 @@ from .find_result import (
     is_feasible,
 )
 from .infill_optim import compute_scaling, optimize_infill, virtual_point
+from .recorders import record_gp_models
 from .start_points import middle_picker_starts
 from .state import EgorState
 from .surrogates import GpSpec, train_gp_surrogates
@@ -219,8 +220,11 @@ class EgorSolver:
             len(gpc.regr_names) > 1 or len(gpc.corr_names) > 1
         )
         if gpc.n_clusters != 1 or multi_combo:
-            return self._train_moe(state, xt, yt)
-        return self._train_gp_batched(state, xt, yt, optimize_theta)
+            models = self._train_moe(state, xt, yt)
+        else:
+            models = self._train_gp_batched(state, xt, yt, optimize_theta)
+        record_gp_models(self.config.outdir, state.iter, models)
+        return models
 
     def _train_moe(self, state: EgorState, xt: np.ndarray, yt: np.ndarray):
         """Clustered-mixture surrogates, one GpMixture per output
@@ -352,12 +356,33 @@ class EgorSolver:
                 starts, xlimits[:, 0], xlimits[:, 1]
             ))
 
-            xk, fk, _ = optimize_infill(
-                models, starts, lo, hi, fmin,
-                scale_infill, scale_wb2, scale_cstr, surrogate_tols,
+            crit_kwargs = dict(
+                fmin=fmin, scale_infill=scale_infill, scale_wb2=scale_wb2,
+                scale_cstr=scale_cstr, cstr_tols=surrogate_tols,
                 crit=crit, cstr_strategy=cstrat, n_cstr=n_cstr,
                 cstr_infill=cfg.cstr_infill,
             )
+            if cfg.coego_n_coop > 1:
+                # cooperative partial optimization for high dimensions
+                # (ref: coego.rs; activity resampled each iteration,
+                # egor_solver.rs:351-418)
+                from .coego import coego_optimize_infill, get_random_activity
+
+                activity = get_random_activity(
+                    state.rng, self.nx, cfg.coego_n_coop
+                )
+                state.activity = activity
+                starts_np = np.asarray(starts)
+                xk_np, fk = coego_optimize_infill(
+                    self, models, state.x_data[state.best_index], activity,
+                    lambda: starts_np, xlimits[:, 0], xlimits[:, 1],
+                    crit_kwargs,
+                )
+                xk = jnp.asarray(xk_np)
+            else:
+                xk, fk, _ = optimize_infill(
+                    models, starts, lo, hi, **crit_kwargs
+                )
             infill_value = float(-fk)
 
             i_min = int(np.argmin(state.y_data[:, 0]))

@@ -204,3 +204,19 @@ def test_xsinx_with_reclustering():
     egor = Egor([[0.0, 25.0]], seed=42, gp_config=GpConfig(n_clusters=0))
     res = egor.minimize(xsinx, max_iters=20)
     assert abs(res.y_opt[0] - (-15.125)) < 1e-2
+
+
+def test_coego_sphere():
+    """CoEGO cooperative partial optimization (ref: solver/coego.rs; the
+    reference gates it at nx>100 — exercised here at d=12, n_coop=3)."""
+    dim = 12
+    egor = Egor(
+        np.array([[-5.0, 5.0]] * dim),
+        seed=42,
+        coego_n_coop=3,
+        infill_strategy=egx.InfillStrategy.EI,
+    )
+    res = egor.minimize(sphere, max_iters=15)
+    n_doe = max(dim + 1, 5)
+    doe_best = res.y_doe[:n_doe, 0].min()
+    assert res.y_opt[0] < 0.6 * doe_best  # clear improvement over the DoE
