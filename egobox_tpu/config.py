@@ -24,18 +24,28 @@ if not os.environ.get("EGOBOX_TPU_NO_X64"):
 
 # Persistent compilation cache: the EGO loop re-uses a handful of jitted
 # programs per shape bucket; caching them across processes removes the
-# dominant cold-start cost on TPU.
+# dominant cold-start cost on TPU. TPU-only: CPU AOT artifacts are
+# machine-feature-specific and loading them across processes on this host
+# SIGILLs (observed), so the cache must never apply to the CPU backend.
 if not os.environ.get("EGOBOX_TPU_NO_COMPILATION_CACHE"):
-    _cache_dir = os.environ.get(
-        "EGOBOX_TPU_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "egobox_tpu_xla"),
-    )
     try:
-        os.makedirs(_cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # pragma: no cover - cache is best-effort
-        pass
+        _backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        _backend = "cpu"
+    if _backend in ("tpu", "axon"):
+        _cache_dir = os.environ.get(
+            "EGOBOX_TPU_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "egobox_tpu_xla"),
+        )
+        try:
+            os.makedirs(_cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+        except Exception:  # pragma: no cover - cache is best-effort
+            pass
 
 
 def default_dtype():
