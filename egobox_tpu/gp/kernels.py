@@ -141,6 +141,18 @@ def corr_cross(name: str, x1, x2, theta, weights=None):
     thw = _theta_w(name, theta, weights)
     wnone = weights is None
 
+    # large L1-family Grams on TPU route to the fused Pallas kernel
+    # (one VMEM-resident pass per output tile; egobox_tpu/ops/pallas_corr.py)
+    if (
+        wnone
+        and x1.dtype == jnp.float32
+        and n1 * n2 * nx > _DENSE_BUDGET
+        and jax.default_backend() == "tpu"
+    ):
+        from ..ops.pallas_corr import corr_cross_pallas
+
+        return corr_cross_pallas(name, x1, x2, theta)
+
     if n1 * n2 * nx <= _DENSE_BUDGET:
         dabs = jnp.abs(x1[:, None, :] - x2[None, :, :])
         return jnp.exp(_log_corr_terms(name, dabs, thw, wnone))
@@ -196,10 +208,36 @@ def corr_gram(name: str, x, theta, weights=None, nugget=0.0):
     return r
 
 
-def theta_bounds_heuristic(name: str, nx: int, dtype=jnp.float64):
-    """Dim-aware theta bounds for nx >= 10 from kernel influence factors
-    (Appriou 2023; ref: ego/src/utils/bounds.rs:5-85)."""
-    lo_f, up_f = THETA_INFLUENCE_FACTORS[name]
-    lo = lo_f / jnp.sqrt(jnp.asarray(float(nx), dtype=dtype))
-    up = up_f / jnp.sqrt(jnp.asarray(float(nx), dtype=dtype))
-    return lo, up
+#: ThetaTuning::DEFAULT_BOUNDS in the reference (gp/src/parameters.rs)
+DEFAULT_THETA_BOUNDS = (1e-2, 1e1)
+
+
+def theta_bounds_heuristic(names, nx: int):
+    """Dim-aware theta bounds for nx >= 10 (Appriou 2023; exact port of
+    special_bounds, ref: ego/src/utils/bounds.rs:33-85).
+
+    ``names`` is a kernel name or list of allowed kernel names; their
+    influence factors widen the default bounds before the dimensional
+    length-scale window is applied."""
+    if isinstance(names, str):
+        names = [names]
+    theta_inf, theta_sup = DEFAULT_THETA_BOUNDS
+    for name in names:
+        f0, f1 = THETA_INFLUENCE_FACTORS[name]
+        theta_inf = min(theta_inf, f0)
+        theta_sup = max(theta_sup, f1)
+
+    if nx < 10:
+        return DEFAULT_THETA_BOUNDS
+
+    import math
+
+    d = float(nx)
+    s = 1.0 / math.sqrt(12.0)  # std of a uniform design on [0, 1]^d
+    k = 9.0 / 5.0  # uniform distribution kurtosis
+    interval = 1.96 * math.sqrt(2.0 * (k + 1.0) * d)
+    rmin = math.sqrt(max(2.0 * d - interval, 1e-12))
+    rmax = math.sqrt(2.0 * d + interval)
+    lmin = s * rmin * theta_inf
+    lmax = s * rmax * theta_sup
+    return (1.0 / lmax, 1.0 / lmin)

@@ -220,3 +220,28 @@ def test_coego_sphere():
     n_doe = max(dim + 1, 5)
     doe_best = res.y_doe[:n_doe, 0].min()
     assert res.y_opt[0] < 0.6 * doe_best  # clear improvement over the DoE
+
+
+def test_qei_multipoint():
+    """q_points=2 with Kriging-believer lower bound proposes 2 points per
+    iteration (ref: QEiStrategy, solver_computations.rs:261-292)."""
+    egor = Egor([[0.0, 25.0]], seed=42, q_points=2,
+                q_infill_strategy=egx.QInfillStrategy.KBLB)
+    res = egor.minimize(xsinx, max_iters=8)
+    assert res.x_doe.shape[0] > 5 + 8  # more than one point per iteration
+    assert abs(res.y_opt[0] - (-15.125)) < 1e-2
+
+
+def test_g24_cstr_infill_logcei():
+    """Constraints folded into the criterion as log-PoF (logCEI,
+    ref: solver_computations.rs:398-475)."""
+    egor = Egor(
+        [[0.0, 3.0], [0.0, 4.0]],
+        n_cstr=2,
+        cstr_infill=True,
+        cstr_tol=np.array([1e-3, 1e-3]),
+        seed=42,
+        n_doe=5,
+    )
+    res = egor.minimize(g24, max_iters=30)
+    assert res.y_opt[0] < -5.2  # near the -5.508 optimum, feasible side
