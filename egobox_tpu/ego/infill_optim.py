@@ -41,12 +41,23 @@ def _criterion(crit: str, mean, var, fmin, scale_wb2, sigma_weight=1.0):
 
 
 def _infill_obj_terms(crit, means, vrs, fmin, scale_infill, scale_wb2,
-                      cstr_tols, cstr_infill, sigma_weight=1.0):
+                      cstr_tols, cstr_infill, sigma_weight=1.0,
+                      feasibility=True):
     """Negative (scaled) criterion, optionally folded with PoF
-    (ref: eval_infill_obj_with_cstrs, solver_computations.rs:398-475)."""
-    c = _criterion(crit, means[0], vrs[0], fmin, scale_wb2, sigma_weight)
-    obj = -c / scale_infill
-    if cstr_infill and means.shape[0] > 1:
+    (ref: eval_infill_obj_with_cstrs, solver_computations.rs:398-475).
+
+    ``feasibility=False`` (no feasible point found yet, env flag
+    EGOR_USE_MAX_PROBA_OF_FEASIBILITY) neutralizes the criterion so the
+    optimizer maximizes the probability of feasibility instead
+    (solver_computations.rs:409-417)."""
+    fold = (cstr_infill or not feasibility) and means.shape[0] > 1
+    if feasibility:
+        c = _criterion(crit, means[0], vrs[0], fmin, scale_wb2,
+                       sigma_weight)
+        obj = -c / scale_infill
+    else:
+        obj = jnp.asarray(0.0 if crit == "LogEI" else -1.0, means.dtype)
+    if fold:
         if crit == "LogEI":
             obj = obj - jnp.sum(log_pof(means[1:], vrs[1:], cstr_tols))
         else:
@@ -58,7 +69,7 @@ def _infill_obj_terms(crit, means, vrs, fmin, scale_infill, scale_wb2,
     jax.jit,
     static_argnames=(
         "crit", "cstr_strategy", "n_cstr", "cstr_infill",
-        "inner_iters", "n_outer",
+        "inner_iters", "n_outer", "feasibility",
     ),
 )
 def optimize_infill(
@@ -79,6 +90,7 @@ def optimize_infill(
     cstr_infill: bool = False,
     inner_iters: int = 40,
     n_outer: int = 4,
+    feasibility: bool = True,
 ):
     """Returns (x_best (nx,), infill_obj_best, per-start results)."""
     dtype = starts.dtype
@@ -87,10 +99,10 @@ def optimize_infill(
         means, vrs = surrogate_valvar_single(models, x)
         return _infill_obj_terms(
             crit, means, vrs, fmin, scale_infill, scale_wb2, cstr_tols,
-            cstr_infill, sigma_weight,
+            cstr_infill, sigma_weight, feasibility,
         )
 
-    hard_cstr = (n_cstr > 0) and not cstr_infill
+    hard_cstr = (n_cstr > 0) and not cstr_infill and feasibility
 
     if not hard_cstr:
 

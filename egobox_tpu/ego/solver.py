@@ -10,6 +10,7 @@ buckets so XLA re-uses compilations across iterations (SURVEY.md §7).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, List, Optional, Sequence
 
 import jax
@@ -344,8 +345,13 @@ class EgorSolver:
 
             # multistart seeds: middle-picker + LHS completion for global
             # steps; pure local LHS inside a TREGO trust region
-            # (ref: trego.rs LocalLhsMultiStarter)
-            if xlimits is self.xlimits:
+            # (ref: trego.rs LocalLhsMultiStarter). The env kill-switch
+            # matches EGOR_DO_NOT_USE_MIDDLEPICKER_MULTISTARTER
+            # (ref: utils/mod.rs env flags).
+            use_middle = not os.environ.get(
+                "EGOR_DO_NOT_USE_MIDDLEPICKER_MULTISTARTER"
+            )
+            if xlimits is self.xlimits and use_middle:
                 starts = middle_picker_starts(
                     state.rng, xt, xlimits, cfg.n_start,
                     lambda n: self._lhs_in(n, xlimits),
@@ -356,12 +362,57 @@ class EgorSolver:
                 starts, xlimits[:, 0], xlimits[:, 1]
             ))
 
+            # feasibility-first search when no feasible point exists yet
+            # (env-gated like the reference: EGOR_USE_MAX_PROBA_OF_FEASIBILITY,
+            # utils/mod.rs:22-48)
+            feasibility = state.feasibility or not os.environ.get(
+                "EGOR_USE_MAX_PROBA_OF_FEASIBILITY"
+            )
             crit_kwargs = dict(
                 fmin=fmin, scale_infill=scale_infill, scale_wb2=scale_wb2,
                 scale_cstr=scale_cstr, cstr_tols=surrogate_tols,
                 crit=crit, cstr_strategy=cstrat, n_cstr=n_cstr,
-                cstr_infill=cfg.cstr_infill,
+                cstr_infill=cfg.cstr_infill, feasibility=feasibility,
             )
+            if (
+                os.environ.get("EGOR_USE_GP_VAR_PORTFOLIO")
+                and cfg.q_points == 1
+            ):
+                # sigma-weight portfolio: re-optimize the criterion with 13
+                # log-spaced weights on the GP std, DBSCAN-cluster the
+                # proposals, evaluate one representative per cluster
+                # (ref: solver_impl.rs:585-610, utils/portfolio.rs)
+                from .portfolio import SIGMA_WEIGHTS, select_from_portfolio
+
+                props = []
+                for sw in SIGMA_WEIGHTS:
+                    s_inf, s_cstr, s_wb2 = compute_scaling(
+                        models, cloud, fmin, surrogate_tols, sw,
+                        crit=crit, n_cstr=n_cstr,
+                        cstr_infill=cfg.cstr_infill,
+                    )
+                    xk_w, _, _ = optimize_infill(
+                        models, starts, lo, hi, fmin, s_inf, s_wb2,
+                        s_cstr, surrogate_tols, sw,
+                        crit=crit, cstr_strategy=cstrat, n_cstr=n_cstr,
+                        cstr_infill=cfg.cstr_infill,
+                        feasibility=feasibility,
+                    )
+                    props.append(np.asarray(xk_w))
+                props = np.stack(props)
+                keep_idx = select_from_portfolio(props)
+                i_min = int(np.argmin(state.y_data[:, 0]))
+                for ki in keep_idx:
+                    xk_i = jnp.asarray(props[ki])
+                    yk_i = virtual_point(
+                        models, xk_i, jnp.asarray(state.y_data[i_min]),
+                        strategy=qei,
+                    )
+                    x_dat.append(np.asarray(xk_i)[None, :])
+                    y_dat.append(np.asarray(yk_i)[None, :])
+                infill_value = np.nan
+                break  # portfolio replaces the q_points loop
+
             if cfg.coego_n_coop > 1:
                 # cooperative partial optimization for high dimensions
                 # (ref: coego.rs; activity resampled each iteration,

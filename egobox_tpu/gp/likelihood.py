@@ -172,7 +172,7 @@ def make_neg_reduced_likelihood(
         # XLA materialize every update panel (OOM at n=10k); 512-column
         # panels keep live memory at ~n*block while the MXU matmul
         # assembles R^-1 = L^-T L^-1 afterwards.
-        block = min(512, n)
+        block = min(2048, n)
         nb = -(-n // block)
         cols = jnp.arange(n)
 
