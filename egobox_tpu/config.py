@@ -48,6 +48,22 @@ if not os.environ.get("EGOBOX_TPU_NO_COMPILATION_CACHE"):
             pass
 
 
+# Logging: EGOBOX_LOG env controls the package log level, mirroring the
+# reference's env_logger initialization from EGOBOX_LOG
+# (ref: ego/src/solver/solver_impl.rs:38-42, python/src/lib.rs:26-30).
+import logging as _logging
+
+logger = _logging.getLogger("egobox_tpu")
+_level = os.environ.get("EGOBOX_LOG")
+if _level:
+    _handler = _logging.StreamHandler()
+    _handler.setFormatter(
+        _logging.Formatter("[%(levelname)s %(name)s] %(message)s")
+    )
+    logger.addHandler(_handler)
+    logger.setLevel(getattr(_logging, _level.upper(), _logging.INFO))
+
+
 def default_dtype():
     """float64 when x64 is live (CPU parity mode), else float32 (TPU)."""
     if jax.config.jax_enable_x64:

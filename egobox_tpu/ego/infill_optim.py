@@ -227,3 +227,23 @@ def virtual_point(models, xk, y_best_row, *, strategy: str = "KB"):
     conf = {"KB": 0.0, "KBLB": -3.0, "KBUB": 3.0}[strategy]
     obj = means[0] + conf * jnp.sqrt(jnp.maximum(vrs[0], 0.0))
     return jnp.concatenate([obj[None], means[1:]])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("crit", "cstr_infill", "feasibility"),
+)
+def eval_infill_and_cstrs(
+    models, x, fmin, scale_infill, scale_wb2, cstr_tols,
+    *, crit: str = "LogEI", cstr_infill: bool = False,
+    feasibility: bool = True,
+):
+    """Single-point infill objective + raw constraint means; used by the
+    host-side polish that folds user function constraints in (they cannot
+    enter the jitted optimizer)."""
+    means, vrs = surrogate_valvar_single(models, x)
+    obj = _infill_obj_terms(
+        crit, means, vrs, fmin, scale_infill, scale_wb2, cstr_tols,
+        cstr_infill, 1.0, feasibility,
+    )
+    return obj, means[1:]

@@ -10,8 +10,12 @@ buckets so XLA re-uses compilations across iterations (SURVEY.md §7).
 
 from __future__ import annotations
 
+import logging
 import os
+import time
 from typing import Callable, List, Optional, Sequence
+
+logger = logging.getLogger("egobox_tpu.ego")
 
 import jax
 import jax.numpy as jnp
@@ -436,6 +440,18 @@ class EgorSolver:
                 )
             infill_value = float(-fk)
 
+            if fcstrs:
+                # user function constraints join the optimization as host
+                # callbacks via a native derivative-free polish around the
+                # jitted optimum (ref: cstr_funcs threading,
+                # solver_impl.rs:716-741; scaling solver_computations.rs:
+                # 181-189)
+                xk = self._fcstr_polish(
+                    np.asarray(xk), models, fcstrs, cloud, crit_kwargs,
+                    xlimits,
+                )
+                xk = jnp.asarray(xk)
+
             i_min = int(np.argmin(state.y_data[:, 0]))
             yk = virtual_point(
                 models, xk, jnp.asarray(state.y_data[i_min]),
@@ -464,6 +480,7 @@ class EgorSolver:
         fcstrs: Sequence[Callable] = (),
         xlimits: Optional[np.ndarray] = None,
     ) -> EgorState:
+        t_start = time.perf_counter()
         while True:
             x_dat, _, infill_value = self.select_next_points(
                 state, fcstrs, init=(state.iter == 0), xlimits=xlimits
@@ -505,7 +522,71 @@ class EgorSolver:
             state.y_data[best], state.c_data[best], state.cstr_tol
         )
         state.iter += 1
+        logger.info(
+            "iter %d: +%d point(s), total %d, best y=%.6g, infill=%.4g "
+            "(%.2fs)",
+            state.iter, x_new.shape[0], state.x_data.shape[0],
+            state.y_data[best, 0], infill_value,
+            time.perf_counter() - t_start,
+        )
         return state
+
+    def _fcstr_polish(self, xk: np.ndarray, models, fcstrs, cloud,
+                      crit_kwargs: dict, xlimits: np.ndarray) -> np.ndarray:
+        """Native derivative-free local polish honoring user function
+        constraints g_i(x) <= cstr_tol (host callbacks can't enter the
+        jitted optimizer). Surrogate constraints stay active via their
+        scaled means (ref: InfillOptProblem, solver_infill_optim.rs)."""
+        from ..native import minimize_dfo_constrained
+        from .infill_optim import eval_infill_and_cstrs
+
+        n_cstr = crit_kwargs["n_cstr"]
+        tols_np = np.asarray(crit_kwargs["cstr_tols"])
+        scale_cstr_np = np.asarray(crit_kwargs["scale_cstr"])
+
+        # scale for the function constraints: max |g| over the scaling
+        # cloud (ref: solver_computations.rs:181-189)
+        cloud_np = np.asarray(cloud)[:: max(1, cloud.shape[0] // 100)]
+        fvals = self._eval_fcstrs(fcstrs, cloud_np)
+        scale_fc = np.maximum(np.max(np.abs(fvals), axis=0), 1e-12)
+
+        def obj_and_cstrs(x):
+            return eval_infill_and_cstrs(
+                models, x, crit_kwargs["fmin"],
+                crit_kwargs["scale_infill"], crit_kwargs["scale_wb2"],
+                crit_kwargs["cstr_tols"],
+                crit=crit_kwargs["crit"],
+                cstr_infill=crit_kwargs["cstr_infill"],
+                feasibility=crit_kwargs["feasibility"],
+            )
+
+        def fun(x):
+            o, _ = obj_and_cstrs(jnp.asarray(x))
+            return float(o)
+
+        cstr_list = []
+        for i in range(n_cstr):
+            def surr_c(x, _i=i):
+                _, m = obj_and_cstrs(jnp.asarray(x))
+                return (float(m[_i]) - tols_np[_i]) / scale_cstr_np[_i]
+
+            cstr_list.append(surr_c)
+        for j, fc in enumerate(fcstrs):
+            tol_j = (
+                float(np.asarray(self.config.resolved_cstr_tol(len(fcstrs))
+                                 )[n_cstr + j])
+            )
+
+            def user_c(x, _fc=fc, _s=scale_fc[j], _t=tol_j):
+                return (float(_fc(x)) - _t) / _s
+
+            cstr_list.append(user_c)
+
+        x_pol, f_pol = minimize_dfo_constrained(
+            fun, cstr_list, xk, xlimits[:, 0], xlimits[:, 1],
+            max_eval=400, n_penalty_rounds=3,
+        )
+        return x_pol
 
     @staticmethod
     def _is_new(x_data: np.ndarray, x: np.ndarray) -> bool:

@@ -243,8 +243,19 @@ def fit_gp(
         n_start = 0
         max_iters = polish_iters
 
-    return fit_gp_core(
-        x, y, mask, theta0, bounds_lo, bounds_up, active_mask, key,
-        corr=corr, trend=trend, kpls_dim=kpls_dim, n_start=n_start,
-        max_iters=max_iters, fixed=theta_fixed, nugget=nugget,
-    )
+    # nugget-escalation retry: if the optimum lands where the f32/f64
+    # Cholesky fails (likelihood -inf), refit with a 100x larger nugget.
+    # nugget is a traced argument, so retries re-use the compiled program
+    # (robustness parity with the reference's ill-conditioning guards,
+    # gp/src/algorithm.rs:1009-1027).
+    model = None
+    for _ in range(3):
+        model = fit_gp_core(
+            x, y, mask, theta0, bounds_lo, bounds_up, active_mask, key,
+            corr=corr, trend=trend, kpls_dim=kpls_dim, n_start=n_start,
+            max_iters=max_iters, fixed=theta_fixed, nugget=nugget,
+        )
+        if bool(jnp.isfinite(model.likelihood)):
+            break
+        nugget *= 100.0
+    return model

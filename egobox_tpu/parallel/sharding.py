@@ -86,6 +86,7 @@ def fit_gp_multichip(
     trend: str = "constant",
     max_iters: int = 30,
     mask: Optional[jnp.ndarray] = None,
+    nugget: Optional[float] = None,
 ):
     """GP MLE with the multistart axis sharded over the mesh. Returns the
     fitted GpModel (replicated)."""
@@ -117,14 +118,16 @@ def fit_gp_multichip(
     x_norm = replicated(mesh, x_norm)
     y_norm = replicated(mesh, y_norm)
 
+    if nugget is None:
+        nugget = 100.0 * float(jnp.finfo(dtype).eps)
     t_best, _ = multistart_neg_rlf_minimize(
         x_norm, y_norm, y_std, inits, lo, up, mask,
-        corr=corr, trend=trend, max_iters=max_iters,
+        corr=corr, trend=trend, max_iters=max_iters, nugget=nugget,
     )
     theta = 10.0**t_best
     # final fixed-theta fit assembles the model
     return fit_gp_core(
         x, y, mask, theta, 10.0**lo, 10.0**up,
         jnp.ones_like(theta, dtype=bool), jax.random.key(0),
-        corr=corr, trend=trend, fixed=True,
+        corr=corr, trend=trend, fixed=True, nugget=nugget,
     )

@@ -245,3 +245,17 @@ def test_g24_cstr_infill_logcei():
     )
     res = egor.minimize(g24, max_iters=30)
     assert res.y_opt[0] < -5.2  # near the -5.508 optimum, feasible side
+
+
+def test_function_constraints():
+    """User function constraints join the infill optimization via the
+    native derivative-free polish (ref: CstrFn handling,
+    solver_impl.rs:716-741). Constrained optimum of xsinx s.t. x<=18."""
+    def cstr_x_le_18(x):
+        return float(np.asarray(x).ravel()[0] - 18.0)
+
+    egor = Egor([[0.0, 25.0]], seed=42)
+    res = egor.minimize(xsinx, fcstrs=[cstr_x_le_18], max_iters=15)
+    true_y = float(xsinx(np.array([[18.0]]))[0, 0])
+    assert res.x_opt[0] <= 18.0 + 1e-3
+    assert abs(res.y_opt[0] - true_y) < 0.5
