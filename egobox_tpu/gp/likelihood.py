@@ -39,6 +39,28 @@ class GpInnerParams(NamedTuple):
     ft_qr_r: jnp.ndarray  # (p, p) R factor of qr(ft)
 
 
+def _build_r(corr, x_norm, theta, w_star, nugget, mask):
+    """Assemble the regularized correlation matrix R.
+
+    The jitter is ``nugget`` scaled by the largest Gershgorin row sum of R
+    (stop-gradient): at small theta the Gram is dense with lambda_max ~ n
+    and a constant nugget falls below f32 resolution of the spectrum —
+    scaling keeps chol(R) well-posed for ANY theta while leaving
+    well-conditioned fits (row sums ~ 1) untouched. With a mask, the padded
+    block is the identity (contributes nothing to logdet/solves/GLS)."""
+    n = x_norm.shape[0]
+    dtype = x_norm.dtype
+    eye = jnp.eye(n, dtype=dtype)
+    r = corr_cross(corr, x_norm, x_norm, theta, w_star)
+    r = r * (1.0 - eye) + eye  # exact unit diagonal
+    if mask is not None:
+        m = mask.astype(dtype)
+        m2 = m[:, None] * m[None, :]
+        r = r * m2 + eye * (1.0 - m2 * eye)
+    row_max = jax.lax.stop_gradient(jnp.max(jnp.sum(jnp.abs(r), axis=1)))
+    return r + eye * (nugget * jnp.maximum(row_max, 1.0))
+
+
 def reduced_likelihood(
     corr: str,
     trend: str,
@@ -60,16 +82,11 @@ def reduced_likelihood(
     dtype = x_norm.dtype
     eye = jnp.eye(n, dtype=dtype)
 
-    r = corr_cross(corr, x_norm, x_norm, theta, w_star)
-    r = r * (1.0 - eye) + eye * (1.0 + nugget)
+    r = _build_r(corr, x_norm, theta, w_star, nugget, mask)
 
     fx = trend_basis(trend, x_norm)
     if mask is not None:
         m = mask.astype(dtype)
-        m2 = m[:, None] * m[None, :]
-        # padded block becomes the identity -> contributes nothing to
-        # logdet, solves, or GLS
-        r = r * m2 + eye * (1.0 - m2 * eye)
         fx = fx * m[:, None]
         y_norm = y_norm * m[:, None]
         n_obs = jnp.sum(m)
@@ -185,11 +202,7 @@ def make_neg_reduced_likelihood(
         li_blocks = jax.lax.map(solve_block, jnp.arange(nb))  # (nb, n, blk)
         li = jnp.moveaxis(li_blocks, 0, 1).reshape(n, nb * block)[:, :n]
         r_inv = li.T @ li  # R^-1 = L^-T L^-1
-        eye = jnp.eye(n, dtype=dtype)
-        r = corr_cross(corr, x_norm, x_norm, theta, w_star)
-        r = r * (1.0 - eye) + eye * (1.0 + nugget)
-        if m2 is not None:
-            r = r * m2 + eye * (1.0 - m2 * eye)
+        r = _build_r(corr, x_norm, theta, w_star, nugget, mask)
         c = (r_inv - (gamma @ gamma.T)
              / jnp.maximum(sigma2_norm, 1e-300)) * r
         if m2 is not None:

@@ -99,7 +99,14 @@ def test_moe_gradients_vs_fdiff():
     mix = train_moe(x, y, n_clusters=2, n_start=3)
     x0 = np.array([[0.31]])
     g = float(np.asarray(mix.predict_gradients(jnp.asarray(x0)))[0, 0])
-    eps = 1e-6
+    # the smooth-mixture product-rule formula must equal autodiff exactly
+    g_auto = float(jax.grad(
+        lambda xi: mix.predict(xi[None, :])[0]
+    )(jnp.asarray(x0[0]))[0])
+    assert abs(g - g_auto) < 1e-8 * max(1.0, abs(g_auto))
+    # and match central differences (eps large enough to beat the fd noise
+    # of the chained GP solves)
+    eps = 1e-4
     fd = (
         float(mix.predict(jnp.asarray(x0 + eps))[0])
         - float(mix.predict(jnp.asarray(x0 - eps))[0])
