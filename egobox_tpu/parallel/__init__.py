@@ -1,15 +1,19 @@
 """Multi-chip scaling via jax.sharding (SURVEY.md §2.6 TPU replacements)."""
 
 from .sharding import (
+    corr_cross_multichip,
     fit_gp_multichip,
     make_mesh,
     multistart_neg_rlf_minimize,
     replicated,
+    shard_rows,
     shard_starts,
 )
 
 __all__ = [
+    "corr_cross_multichip",
     "fit_gp_multichip",
+    "shard_rows",
     "make_mesh",
     "multistart_neg_rlf_minimize",
     "replicated",

@@ -49,6 +49,32 @@ def replicated(mesh: Mesh, arr) -> jnp.ndarray:
     return jax.device_put(arr, NamedSharding(mesh, P()))
 
 
+def shard_rows(mesh: Mesh, arr: jnp.ndarray) -> jnp.ndarray:
+    """Alias of shard_starts for data-axis sharding (row blocks of a
+    training set / Gram matrix)."""
+    return shard_starts(mesh, arr)
+
+
+def corr_cross_multichip(mesh: Mesh, name: str, x1, x2, theta,
+                         weights=None):
+    """Cross-correlation Gram with the x1 rows sharded over the mesh: each
+    device builds its row block against the replicated x2 — the n^2 d work
+    of the reference's rayon pdist/cdist (doe/src/utils.rs) spread over
+    chips. The output keeps the row sharding."""
+    from ..gp.kernels import corr_cross
+
+    n1 = x1.shape[0]
+    n_dev = mesh.devices.size
+    if n1 % n_dev != 0:
+        raise ValueError(
+            f"n1={n1} must be divisible by the {n_dev}-device mesh"
+        )
+    x1 = shard_rows(mesh, x1)
+    x2 = replicated(mesh, x2)
+    theta = replicated(mesh, theta)
+    return corr_cross(name, x1, x2, theta, weights)
+
+
 @partial(
     jax.jit,
     static_argnames=("corr", "trend", "max_iters"),

@@ -69,3 +69,19 @@ def test_graft_entry_forward():
     mean, var = jax.jit(fn)(*args)
     assert mean.shape == (8,)
     assert np.all(np.asarray(var) >= 0)
+
+
+def test_corr_cross_multichip(mesh):
+    from egobox_tpu.parallel import corr_cross_multichip
+    from egobox_tpu.gp.kernels import corr_cross
+
+    rng = np.random.RandomState(1)
+    x1 = jnp.asarray(rng.uniform(0, 1, (64, 3)))
+    x2 = jnp.asarray(rng.uniform(0, 1, (40, 3)))
+    theta = jnp.asarray([0.5, 1.0, 2.0])
+    g_sh = corr_cross_multichip(mesh, "matern52", x1, x2, theta)
+    g_ref = corr_cross("matern52", x1, x2, theta, None)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-10)
+    # row sharding preserved on the output
+    assert not g_sh.sharding.is_fully_replicated
