@@ -47,31 +47,66 @@ from .gaussian_mixture import (
 from .gmm import fit_gmm, gmm_log_prob
 
 
+from functools import partial
+
+from ..gp.fit import GP_DEFAULT_THETA_BOUNDS, fit_gp_core
+
+
+@partial(
+    jax.jit,
+    static_argnames=("corr", "trend", "kpls_dim", "n_start", "max_iters"),
+)
+def _cv_folds_error(x, y, masks, theta0, lo, up, key, *, corr, trend,
+                    kpls_dim, n_start, max_iters):
+    """All k fold-fits advance as ONE vmapped masked-fit batch; the
+    held-out error is computed with the complementary mask."""
+    active = jnp.ones_like(theta0, dtype=bool)
+
+    def one_fold(mask):
+        model = fit_gp_core(
+            x, y[:, None], mask, theta0, lo, up, active, key,
+            corr=corr, trend=trend, kpls_dim=kpls_dim, n_start=n_start,
+            max_iters=max_iters, nugget=100.0 * jnp.finfo(x.dtype).eps,
+        )
+        pred = gp_predict(model, x)  # (n,)
+        test = ~mask
+        w = test.astype(x.dtype)
+        return jnp.sum((pred - y) ** 2 * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    return jax.vmap(one_fold)(masks)  # (k,) per-fold MSE
+
+
 def _cv_error(x: np.ndarray, y: np.ndarray, corr: str, trend: str,
               kpls_dim, n_start: int, seed: int, n_folds: int = 5) -> float:
     """k-fold CV RMSE of one (trend, corr) combo using masked fits — the
-    five folds share one compiled program (ref: expertise_macros.rs:14-130).
+    folds share one compiled vmapped program
+    (ref: expertise_macros.rs:14-130 generates sequential per-combo code).
     """
     n = x.shape[0]
     n_folds = min(n_folds, n)
     idx = np.arange(n)
     rng = np.random.default_rng(seed)
     rng.shuffle(idx)
-    errs = []
+    masks = np.ones((n_folds, n), dtype=bool)
     for f in range(n_folds):
-        test = idx[f::n_folds]
-        mask = np.ones(n, dtype=bool)
-        mask[test] = False
-        try:
-            model = fit_gp(
-                jnp.asarray(x), jnp.asarray(y), corr=corr, trend=trend,
-                kpls_dim=kpls_dim, n_start=min(n_start, 5), max_iters=20,
-                mask=jnp.asarray(mask), seed=seed,
-            )
-            pred = np.asarray(gp_predict(model, jnp.asarray(x[test])))
-            errs.append(np.mean((pred - y[test]) ** 2))
-        except Exception:
-            errs.append(np.inf)
+        masks[f, idx[f::n_folds]] = False
+
+    dim = kpls_dim if kpls_dim is not None else x.shape[1]
+    dtype = jnp.asarray(x).dtype
+    theta0 = jnp.full((dim,), 0.1, dtype)
+    lo = jnp.full((dim,), GP_DEFAULT_THETA_BOUNDS[0], dtype)
+    up = jnp.full((dim,), GP_DEFAULT_THETA_BOUNDS[1], dtype)
+    try:
+        errs = _cv_folds_error(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(masks),
+            theta0, lo, up, jax.random.key(seed),
+            corr=corr, trend=trend, kpls_dim=kpls_dim,
+            n_start=min(n_start, 5), max_iters=20,
+        )
+        errs = np.asarray(errs)
+        errs = np.where(np.isfinite(errs), errs, np.inf)
+    except Exception:
+        return np.inf
     return float(np.sqrt(np.mean(errs)))
 
 
