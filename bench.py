@@ -9,7 +9,7 @@ per restart on CPU. Here one full MLE fit (L-BFGS on the exact concentrated
 likelihood with its analytic O(n^3) adjoint) runs as one compiled XLA
 program on the MXU.
 
-Config: multi-fidelity MLE — multistart (1+1 restarts, 10 L-BFGS
+Config: multi-fidelity MLE — multistart (2+1 restarts, 12 L-BFGS
 iterations) on a 2k subsample, then 3 polish iterations on the full 10k
 data; f32, nugget 1e-3 (f32-scale regularization at n=10k). The final model
 is the exact full-data GP at the polished theta. Timing is steady-state (post-compile)
@@ -56,7 +56,7 @@ def main():
         x, y = _make_data(jnp, jax, seed, n, d, dtype)
         _ = float(x[0, 0])  # force data on device before the clock starts
         t0 = time.perf_counter()
-        m = gp.fit_gp(x, y, n_start=1, max_iters=10, nugget=1e-3,
+        m = gp.fit_gp(x, y, n_start=2, max_iters=12, nugget=1e-3,
                       subsample_warmstart=2000, polish_iters=3)
         lkh = float(m.likelihood)  # host sync = honest stop
         return time.perf_counter() - t0, lkh
