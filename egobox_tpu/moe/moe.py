@@ -36,7 +36,44 @@ from ..gp.gp import (
     predict_var_gradients as gp_predict_var_gradients,
     sample as gp_sample,
 )
+from ..gp.sgp import (
+    SgpModel,
+    fit_sgp,
+    sgp_predict,
+    sgp_predict_gradients,
+    sgp_predict_valvar,
+    sgp_predict_var,
+    sgp_predict_var_gradients,
+)
 from ..types import Recombination
+
+
+def _e_predict(e, x):
+    return sgp_predict(e, x) if isinstance(e, SgpModel) else gp_predict(e, x)
+
+
+def _e_valvar(e, x):
+    if isinstance(e, SgpModel):
+        return sgp_predict_valvar(e, x)
+    return gp_predict_valvar(e, x)
+
+
+def _e_var(e, x):
+    if isinstance(e, SgpModel):
+        return sgp_predict_var(e, x)
+    return gp_predict_var(e, x)
+
+
+def _e_grad(e, x):
+    if isinstance(e, SgpModel):
+        return sgp_predict_gradients(e, x)
+    return gp_predict_gradients(e, x)
+
+
+def _e_vargrad(e, x):
+    if isinstance(e, SgpModel):
+        return sgp_predict_var_gradients(e, x)
+    return gp_predict_var_gradients(e, x)
 from .gaussian_mixture import (
     GaussianMixture,
     from_gmm_x_marginal,
@@ -119,6 +156,33 @@ def _min_points(trend: str, dim: int) -> int:
     return 1
 
 
+def _sgp_cv_error(x, y, corr, n_inducing, sparse_method, n_start, seed,
+                  n_folds: int = 5) -> float:
+    """k-fold CV RMSE for a sparse-GP expert candidate (host loop; the
+    reference generates this via declare_sgp_surrogate! macros)."""
+    n = x.shape[0]
+    n_folds = min(n_folds, max(n // 10, 2))
+    idx = np.arange(n)
+    rng = np.random.default_rng(seed)
+    rng.shuffle(idx)
+    errs = []
+    for f in range(n_folds):
+        test = idx[f::n_folds]
+        train = np.setdiff1d(idx, test)
+        try:
+            m = fit_sgp(
+                jnp.asarray(x[train]), jnp.asarray(y[train]), corr=corr,
+                method=sparse_method,
+                n_inducing=min(n_inducing, train.size),
+                n_start=min(n_start, 3), max_iters=20, seed=seed,
+            )
+            pred = np.asarray(sgp_predict(m, jnp.asarray(x[test])))
+            errs.append(np.mean((pred - y[test]) ** 2))
+        except Exception:
+            errs.append(np.inf)
+    return float(np.sqrt(np.mean(errs)))
+
+
 def find_best_expert(
     x: np.ndarray,
     y: np.ndarray,
@@ -129,11 +193,34 @@ def find_best_expert(
     seed: int = 42,
     theta_init=None,
     theta_bounds=None,
-) -> GpModel:
+    gp_type: str = "full",
+    n_inducing: int = 10,
+    sparse_method: str = "FITC",
+):
     """CV-select the (trend, kernel) combo and train it on all data
-    (ref: find_best_expert, algorithm.rs:209-347)."""
+    (ref: find_best_expert, algorithm.rs:209-347). ``gp_type="sparse"``
+    selects sparse-GP experts (constant trend only, like the reference's
+    declare_sgp_surrogate registry, surrogates.rs:266-422)."""
     n, nx = x.shape
     dim = kpls_dim if kpls_dim is not None else nx
+
+    if gp_type == "sparse":
+        if len(corr_names) == 1:
+            corr = corr_names[0]
+        else:
+            errors = {
+                c: _sgp_cv_error(x, y, c, n_inducing, sparse_method,
+                                 n_start, seed)
+                for c in corr_names
+            }
+            corr = min(errors, key=errors.get)
+        return fit_sgp(
+            jnp.asarray(x), jnp.asarray(y), corr=corr,
+            method=sparse_method, n_inducing=min(n_inducing, n),
+            kpls_dim=kpls_dim, n_start=n_start, seed=seed,
+            theta_init=theta_init, theta_bounds=theta_bounds,
+        )
+
     allowed = [
         (t, c)
         for t in regr_names
@@ -179,7 +266,7 @@ def moe_predict_valvar_single(model: MoeModel, x: jnp.ndarray):
     Smooth recombination: mean = sum p_k mu_k, var = sum p_k^2 var_k
     (ref: algorithm.rs:662-685); hard: argmax-cluster expert."""
     xq = x[None, :]
-    mvs = [gp_predict_valvar(e, xq) for e in model.experts]
+    mvs = [_e_valvar(e, xq) for e in model.experts]
     means = jnp.stack([m[0] for m, _ in mvs])  # (k,)
     vrs = jnp.stack([v[0] for _, v in mvs])
     if len(model.experts) == 1:
@@ -193,7 +280,7 @@ def moe_predict_valvar_single(model: MoeModel, x: jnp.ndarray):
 
 def moe_predict_valvar_batch(model: MoeModel, x: jnp.ndarray):
     """(means, vars) of one MoeModel over a cloud x (p, nx) -> ((p,), (p,))."""
-    mvs = [gp_predict_valvar(e, x) for e in model.experts]
+    mvs = [_e_valvar(e, x) for e in model.experts]
     means = jnp.stack([m for m, _ in mvs])  # (k, p)
     vrs = jnp.stack([v for _, v in mvs])
     if len(model.experts) == 1:
@@ -231,11 +318,11 @@ class GpMixture:
     # -- prediction -----------------------------------------------------
 
     def _expert_preds(self, x: jnp.ndarray):
-        means = jnp.stack([gp_predict(e, x) for e in self.experts])
+        means = jnp.stack([_e_predict(e, x) for e in self.experts])
         return means  # (k, n)
 
     def _expert_valvars(self, x: jnp.ndarray):
-        mvs = [gp_predict_valvar(e, x) for e in self.experts]
+        mvs = [_e_valvar(e, x) for e in self.experts]
         means = jnp.stack([m for m, _ in mvs])
         vrs = jnp.stack([v for _, v in mvs])
         return means, vrs
@@ -243,7 +330,7 @@ class GpMixture:
     def predict(self, x) -> jnp.ndarray:
         x = jnp.atleast_2d(jnp.asarray(x))
         if self.n_clusters == 1:
-            return gp_predict(self.experts[0], x)
+            return _e_predict(self.experts[0], x)
         if self.recombination is Recombination.HARD:
             return self._predict_hard(x)
         return self._predict_smooth(x)
@@ -263,7 +350,7 @@ class GpMixture:
     def predict_var(self, x) -> jnp.ndarray:
         x = jnp.atleast_2d(jnp.asarray(x))
         if self.n_clusters == 1:
-            return gp_predict_var(self.experts[0], x)
+            return _e_var(self.experts[0], x)
         _, vrs = self._expert_valvars(x)
         if self.recombination is Recombination.HARD:
             cl = predict_cluster(self.gmx, x)
@@ -279,9 +366,9 @@ class GpMixture:
     def predict_gradients(self, x) -> jnp.ndarray:
         x = jnp.atleast_2d(jnp.asarray(x))
         if self.n_clusters == 1:
-            return gp_predict_gradients(self.experts[0], x)
+            return _e_grad(self.experts[0], x)
         grads = jnp.stack(
-            [gp_predict_gradients(e, x) for e in self.experts]
+            [_e_grad(e, x) for e in self.experts]
         )  # (k, n, nx)
         if self.recombination is Recombination.HARD:
             cl = predict_cluster(self.gmx, x)
@@ -298,9 +385,9 @@ class GpMixture:
     def predict_var_gradients(self, x) -> jnp.ndarray:
         x = jnp.atleast_2d(jnp.asarray(x))
         if self.n_clusters == 1:
-            return gp_predict_var_gradients(self.experts[0], x)
+            return _e_vargrad(self.experts[0], x)
         vgrads = jnp.stack(
-            [gp_predict_var_gradients(e, x) for e in self.experts]
+            [_e_vargrad(e, x) for e in self.experts]
         )
         if self.recombination is Recombination.HARD:
             cl = predict_cluster(self.gmx, x)
@@ -324,7 +411,7 @@ class GpMixture:
 
 def _predict_smooth_with(experts, gmx, x):
     probas = predict_probas(gmx, x)
-    means = jnp.stack([gp_predict(e, x) for e in experts])
+    means = jnp.stack([_e_predict(e, x) for e in experts])
     return jnp.sum(probas.T * means, axis=0)
 
 
@@ -401,10 +488,15 @@ def train_moe(
     seed: int = 42,
     theta_init=None,
     theta_bounds=None,
+    gp_type: str = "full",
+    n_inducing: int = 10,
+    sparse_method: str = "FITC",
 ) -> GpMixture:
     """Train a mixture of GP experts (ref: train, algorithm.rs:70-205).
 
     ``n_clusters``: >0 fixed; 0 auto; <0 auto with max = -n_clusters.
+    ``gp_type``: "full" dense kriging experts or "sparse" FITC/VFE experts
+    with ``n_inducing`` points (ref: GpType, moe/src/parameters.rs:98-108).
     """
     x = np.atleast_2d(np.asarray(x, dtype=float))
     y = np.asarray(y, dtype=float).reshape(x.shape[0])
@@ -422,10 +514,13 @@ def train_moe(
 
     key = jax.random.key(seed)
 
+    expert_kwargs = dict(
+        gp_type=gp_type, n_inducing=n_inducing, sparse_method=sparse_method,
+    )
     if k == 1:
         expert = find_best_expert(
             x, y, regr_names, corr_names, kpls_dim, n_start, seed,
-            theta_init, theta_bounds,
+            theta_init, theta_bounds, **expert_kwargs,
         )
         gmm = fit_gmm(key, jnp.asarray(np.hstack([x, y[:, None]])), 1)
         gmx = from_gmm_x_marginal(gmm, nx)
@@ -464,6 +559,7 @@ def train_moe(
                 find_best_expert(
                     x[sel], y[sel], regr_names, corr_names, kpls_dim,
                     n_start, seed, theta_init, theta_bounds,
+                    **expert_kwargs,
                 )
             )
         return experts

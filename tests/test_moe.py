@@ -140,3 +140,25 @@ def test_q2_metric():
     fp = gp_fit_predict(n_start=3)
     q2 = q2_score(x, y, fp, kfold=5)
     assert q2 > 0.98
+
+
+def test_moe_sparse_experts():
+    """Sparse-GP experts inside the mixture (ref: GpType::SparseGp,
+    moe/src/parameters.rs:98-108 + declare_sgp_surrogate registry)."""
+    from egobox_tpu.gp.sgp import SgpModel
+
+    rng = np.random.RandomState(0)
+    n = 240
+    x = np.sort(rng.uniform(0, 1, (n, 1)), axis=0)
+    y = (np.where(x[:, 0] < 0.5, 10.0 + 2 * x[:, 0], -5 * x[:, 0] + 1.0)
+         + rng.normal(0, 0.05, n))
+    mix = train_moe(x, y, n_clusters=2, gp_type="sparse", n_inducing=25,
+                    sparse_method="VFE", n_start=3,
+                    recombination=Recombination.HARD)
+    assert all(isinstance(e, SgpModel) for e in mix.experts)
+    pred = np.asarray(mix.predict(x))
+    # at the noise floor away from the cluster boundary
+    inner = np.abs(x[:, 0] - 0.5) > 0.05
+    rmse = np.sqrt(np.mean((pred[inner] - y[inner]) ** 2))
+    assert rmse < 0.1
+    assert np.all(np.asarray(mix.predict_var(x)) >= 0)
