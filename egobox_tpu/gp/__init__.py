@@ -6,6 +6,7 @@ TPU-native rebuild of the egobox `gp` crate (crates/gp in /root/reference).
 from .fit import fit_gp, fit_gp_core
 from .gp import (
     GpModel,
+    predict_kth_derivatives,
     posterior_cov,
     predict,
     predict_gradients,
@@ -66,6 +67,7 @@ __all__ = [
     "posterior_cov",
     "predict",
     "predict_gradients",
+    "predict_kth_derivatives",
     "predict_valvar",
     "predict_valvar_gradients",
     "predict_var",

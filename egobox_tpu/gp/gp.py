@@ -121,6 +121,13 @@ def predict_gradients(model: GpModel, x: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(g)(x)
 
 
+def predict_kth_derivatives(model: GpModel, x: jnp.ndarray,
+                            kx: int) -> jnp.ndarray:
+    """d mean / dx_kx per row -> (n,) (ref: algorithm.rs:443-506 SqExp
+    shortcut — here exact for every kernel via the full jacobian)."""
+    return predict_gradients(model, x)[:, kx]
+
+
 def predict_var_gradients(model: GpModel, x: jnp.ndarray) -> jnp.ndarray:
     """d var / dx per row -> (n, nx) (ref: algorithm.rs:554-617)."""
     g = jax.grad(lambda xi: predict_var(model, xi[None, :])[0])
