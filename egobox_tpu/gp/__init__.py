@@ -42,6 +42,21 @@ from .sgp import (
 )
 from .trends import TREND_NAMES, n_basis, trend_basis, trend_jacobian
 
+
+def kriging(x, y, **kwargs):
+    """Kriging convenience fit: constant trend + squared-exponential kernel
+    (ref alias: gp/src/algorithm.rs:200-207 ``Kriging<F>``)."""
+    kwargs.setdefault("corr", "squared_exponential")
+    kwargs.setdefault("trend", "constant")
+    return fit_gp(x, y, **kwargs)
+
+
+def sparse_kriging(x, y, **kwargs):
+    """SparseKriging convenience fit: squared-exponential sparse GP
+    (ref alias: gp/src/sparse_algorithm.rs:172-179)."""
+    kwargs.setdefault("corr", "squared_exponential")
+    return fit_sgp(x, y, **kwargs)
+
 __all__ = [
     "GpInnerParams",
     "SgpModel",
@@ -61,6 +76,8 @@ __all__ = [
     "corr_cross",
     "corr_value",
     "fit_gp",
+    "kriging",
+    "sparse_kriging",
     "fit_gp_core",
     "n_basis",
     "pls_rotations",
