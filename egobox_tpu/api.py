@@ -164,11 +164,11 @@ class Gpx:
         return np.asarray(self._mixture.predict(self._x(x)))
 
     def predict_var(self, x) -> np.ndarray:
-        return np.asarray(self._mixture.predict_var(self._x(x)))[:, None]
+        return np.asarray(self._mixture.predict_var(self._x(x)))
 
     def predict_valvar(self, x):
         m, v = self._mixture.predict_valvar(self._x(x))
-        return np.asarray(m), np.asarray(v)[:, None]
+        return np.asarray(m), np.asarray(v)
 
     def predict_gradients(self, x) -> np.ndarray:
         return np.asarray(self._mixture.predict_gradients(self._x(x)))
@@ -401,11 +401,11 @@ class SparseGpx:
         return np.asarray(sgp_predict(self._model, self._x(x)))
 
     def predict_var(self, x) -> np.ndarray:
-        return np.asarray(sgp_predict_var(self._model, self._x(x)))[:, None]
+        return np.asarray(sgp_predict_var(self._model, self._x(x)))
 
     def predict_valvar(self, x):
         m, v = sgp_predict_valvar(self._model, self._x(x))
-        return np.asarray(m), np.asarray(v)[:, None]
+        return np.asarray(m), np.asarray(v)
 
     def predict_gradients(self, x) -> np.ndarray:
         return np.asarray(sgp_predict_gradients(self._model, self._x(x)))

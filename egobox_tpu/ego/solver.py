@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import default_dtype
 from ..doe.lhs import LhsKind, lhs_normalized, scale_to_xlimits
 from ..gp.kernels import theta_bounds_heuristic
 from ..types import (
@@ -121,7 +122,7 @@ class EgorSolver:
 
     def _lhs(self, n: int, kind=LhsKind.MAXIMIN) -> np.ndarray:
         pts = lhs_normalized(self._next_key(), n, self.nx, kind,
-                             jnp.float64)
+                             default_dtype())
         return np.asarray(
             scale_to_xlimits(pts, jnp.asarray(self.xlimits))
         )
@@ -464,7 +465,7 @@ class EgorSolver:
 
     def _lhs_in(self, n: int, xlimits: np.ndarray) -> np.ndarray:
         pts = lhs_normalized(self._next_key(), n, self.nx,
-                             LhsKind.MAXIMIN, jnp.float64)
+                             LhsKind.MAXIMIN, default_dtype())
         return np.asarray(
             scale_to_xlimits(pts, jnp.asarray(xlimits))
         )

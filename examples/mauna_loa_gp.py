@@ -35,7 +35,7 @@ if __name__ == "__main__":
 
     t_test = np.linspace(0.0, 42.0, 200)[:, None]  # extrapolate 2 years
     mean = gpx.predict(t_test)
-    std = np.sqrt(gpx.predict_var(t_test))[:, 0]
+    std = np.sqrt(gpx.predict_var(t_test))
 
     in_range = t_test[:, 0] <= 40.0
     err = np.abs(mean[in_range] - co2_like(t_test[in_range, 0]))
