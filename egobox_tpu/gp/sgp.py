@@ -263,6 +263,7 @@ def fit_sgp(
     z=None,
     theta_init=None,
     theta_bounds=None,
+    theta_fixed: bool = False,
     noise=None,
     noise_bounds=None,
     estimate_noise: bool = True,
@@ -306,6 +307,10 @@ def fit_sgp(
     tb = jnp.asarray(tb, dtype=dtype)
     if tb.ndim == 1:
         tb = jnp.broadcast_to(tb[None, :], (dim, 2))
+    if theta_fixed:
+        # ThetaTuning::Fixed: collapse theta bounds so only sigma2/noise
+        # are optimized (ref: sparse_algorithm.rs:472)
+        tb = jnp.stack([theta0, theta0], axis=1)
 
     eps = float(jnp.finfo(dtype).eps)
     noise0 = jnp.asarray(

@@ -90,3 +90,13 @@ def test_sgp_kpls():
     assert m.theta.shape == (2,)
     pred = np.asarray(sgp_predict(m, jnp.asarray(x)))
     assert np.corrcoef(pred, y)[0, 1] > 0.9
+
+
+def test_sgp_fixed_theta():
+    """ThetaTuning::Fixed for SGP: theta pinned, sigma2/noise still
+    optimized (ref: sparse_algorithm.rs:472)."""
+    x, y, _ = _noisy_sine(100)
+    m = fit_sgp(jnp.asarray(x), jnp.asarray(y), n_inducing=20,
+                theta_init=0.37, theta_fixed=True, seed=1)
+    np.testing.assert_allclose(np.asarray(m.theta), [0.37], rtol=1e-6)
+    assert float(m.noise) > 0
