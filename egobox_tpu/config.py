@@ -22,12 +22,13 @@ import jax.numpy as jnp
 if not os.environ.get("EGOBOX_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
-# f32 matmuls on TPU default to bf16 passes on the MXU — catastrophic for
-# GP numerics (the Gram matmul trick, GLS products, R^-1 assembly lose ~5
-# decimal digits and constrained EGO visibly degrades; measured: G24 lands
-# at -3.9 instead of -5.5). Force full f32 accumulation; the MXU runs
-# f32-accurate matmuls via multi-pass bf16 at a modest cost.
-jax.config.update("jax_default_matmul_precision", "highest")
+# f32 matmuls on TPU default to single-pass bf16 on the MXU — catastrophic
+# for GP numerics (the Gram matmul trick, GLS products, R^-1 assembly lose
+# ~5 decimal digits and constrained EGO visibly degrades; measured: G24
+# lands at -3.9 instead of -5.5). "high" = bf16_3x passes, ~f32-accurate
+# at a fraction of the "highest" cost — the right default for GP-grade
+# linear algebra on the MXU.
+jax.config.update("jax_default_matmul_precision", "high")
 
 # Persistent compilation cache: the EGO loop re-uses a handful of jitted
 # programs per shape bucket; caching them across processes removes the
