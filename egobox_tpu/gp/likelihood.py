@@ -201,7 +201,11 @@ def make_neg_reduced_likelihood(
 
         li_blocks = jax.lax.map(solve_block, jnp.arange(nb))  # (nb, n, blk)
         li = jnp.moveaxis(li_blocks, 0, 1).reshape(n, nb * block)[:, :n]
-        r_inv = li.T @ li  # R^-1 = L^-T L^-1
+        # R^-1 = L^-T L^-1. This n^3 matmul only feeds the GRADIENT's trace
+        # contraction — bf16 single-pass accuracy (~1e-3 relative) is ample
+        # for a quasi-Newton direction, so skip the multi-pass f32 cost the
+        # global matmul-precision default would impose.
+        r_inv = jnp.matmul(li.T, li, precision=jax.lax.Precision.DEFAULT)
         r = _build_r(corr, x_norm, theta, w_star, nugget, mask)
         c = (r_inv - (gamma @ gamma.T)
              / jnp.maximum(sigma2_norm, 1e-300)) * r
