@@ -502,6 +502,7 @@ class EgorSolver:
 
         x_new = x_dat[keep]
         y_new = np.atleast_2d(np.asarray(fobj(x_new), dtype=float))
+        y_new = self._impute_failures(state, y_new)
         c_new = self._eval_fcstrs(fcstrs, x_new)
 
         offset = state.x_data.shape[0]
@@ -588,6 +589,29 @@ class EgorSolver:
             max_eval=400, n_penalty_rounds=3,
         )
         return x_pol
+
+    @staticmethod
+    def _impute_failures(state: EgorState, y_new: np.ndarray) -> np.ndarray:
+        """Failed objective evaluations (NaN/inf) would poison the GP
+        normalization; impute them with a worst-observed penalty per column
+        so the surrogate learns to avoid the region (optimizer-level
+        robustness, cf. the reference's likelihood-failure handling,
+        SURVEY.md §5)."""
+        bad = ~np.isfinite(y_new)
+        if not bad.any():
+            return y_new
+        logger.warning("imputing %d failed objective value(s)",
+                       int(bad.sum()))
+        y_new = y_new.copy()
+        for j in range(y_new.shape[1]):
+            col_ref = state.y_data[:, j]
+            finite = col_ref[np.isfinite(col_ref)]
+            if finite.size:
+                penalty = finite.max() + 3.0 * max(finite.std(), 1.0)
+            else:
+                penalty = 1e6
+            y_new[bad[:, j], j] = penalty
+        return y_new
 
     @staticmethod
     def _is_new(x_data: np.ndarray, x: np.ndarray) -> bool:

@@ -259,3 +259,18 @@ def test_function_constraints():
     true_y = float(xsinx(np.array([[18.0]]))[0, 0])
     assert res.x_opt[0] <= 18.0 + 1e-3
     assert abs(res.y_opt[0] - true_y) < 0.5
+
+
+def test_nan_objective_robustness():
+    """Failed (NaN) objective evaluations are imputed with a worst-observed
+    penalty instead of poisoning the surrogate (SURVEY.md §5 robustness)."""
+    def nan_prone(x):
+        x = np.atleast_2d(x)
+        y = ((x - 3.5) * np.sin((x - 3.5) / np.pi)).reshape(-1, 1)
+        y[x.reshape(-1, 1) > 22.0] = np.nan
+        return y
+
+    egor = Egor([[0.0, 25.0]], seed=42)
+    res = egor.minimize(nan_prone, max_iters=12)
+    assert abs(res.y_opt[0] - (-15.125)) < 1e-2
+    assert not np.isnan(res.y_doe).any()
