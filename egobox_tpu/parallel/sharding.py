@@ -33,10 +33,23 @@ from ..optim.lbfgsb import minimize_lbfgsb
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "starts") -> Mesh:
+    """Build a 1-D mesh over the first ``n_devices`` devices. If the platform
+    has fewer devices than asked, degrade to all available ones with a
+    warning (to actually provision virtual host devices, reconfigure
+    ``jax_platforms=cpu`` + ``jax_num_cpu_devices`` before any jax op — see
+    ``__graft_entry__._ensure_n_devices``)."""
     devs = jax.devices()
     n = n_devices or len(devs)
     if n > len(devs):
-        raise ValueError(f"asked for {n} devices, have {len(devs)}")
+        import warnings
+
+        warnings.warn(
+            f"make_mesh: asked for {n} devices, have {len(devs)} on "
+            f"platform '{devs[0].platform}' — degrading to a "
+            f"{len(devs)}-device mesh",
+            stacklevel=2,
+        )
+        n = len(devs)
     return Mesh(np.array(devs[:n]), (axis,))
 
 
