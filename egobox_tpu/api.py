@@ -85,7 +85,7 @@ class GpMix:
         corr_spec: CorrelationSpec = CorrelationSpec.SQUARED_EXPONENTIAL,
         kpls_dim: Optional[int] = None,
         n_clusters: int = 1,
-        recombination: Recombination = Recombination.SMOOTH,
+        recombination: Recombination = Recombination.HARD,
         theta_init: Optional[Sequence[float]] = None,
         theta_bounds: Optional[Sequence[Sequence[float]]] = None,
         n_start: int = 10,
@@ -245,14 +245,20 @@ class Gpx:
 
     # -- persistence (ref: moe/src/algorithm.rs:509-525 json/bincode) ----
 
-    def save(self, path: str):
-        payload = _serialize_mixture(self._mixture, self._training)
-        if str(path).endswith(".json"):
-            with open(path, "w") as f:
-                json.dump(payload, f)
-        else:
-            with open(path, "wb") as f:
-                pickle.dump(payload, f)
+    def save(self, path: str) -> bool:
+        """Returns True on success, False on failure
+        (ref: egobox.pyi:442-453)."""
+        try:
+            payload = _serialize_mixture(self._mixture, self._training)
+            if str(path).endswith(".json"):
+                with open(path, "w") as f:
+                    json.dump(payload, f)
+            else:
+                with open(path, "wb") as f:
+                    pickle.dump(payload, f)
+        except OSError:
+            return False
+        return True
 
     @staticmethod
     def load(path: str) -> "Gpx":
@@ -415,6 +421,14 @@ class SparseGpx:
             sgp_predict_var_gradients(self._model, self._x(x))
         )
 
+    def sample(self, x, n_traj: int, seed: Optional[int] = None):
+        """Sample GP trajectories -> array[nsamples, n_traj]
+        (ref: egobox.pyi:733-744, sparse_algorithm.rs:338-361)."""
+        from .gp.sgp import sgp_sample
+
+        key = jax.random.key(seed if seed is not None else 0)
+        return np.asarray(sgp_sample(self._model, self._x(x), n_traj, key))
+
     def _x(self, x):
         x = np.asarray(x, dtype=float)
         if x.ndim == 1:
@@ -442,7 +456,9 @@ class SparseGpx:
     def inducings(self) -> np.ndarray:
         return np.asarray(self._model.z)
 
-    def save(self, path: str):
+    def save(self, path: str) -> bool:
+        """Returns True on success, False on failure
+        (ref: egobox.pyi:660-671)."""
         payload = {
             "format": "egobox_tpu.Sgp.v1",
             "corr": self._model.corr,
@@ -459,12 +475,16 @@ class SparseGpx:
                 "y": _arr(self._training[1]),
             },
         }
-        if str(path).endswith(".json"):
-            with open(path, "w") as f:
-                json.dump(payload, f)
-        else:
-            with open(path, "wb") as f:
-                pickle.dump(payload, f)
+        try:
+            if str(path).endswith(".json"):
+                with open(path, "w") as f:
+                    json.dump(payload, f)
+            else:
+                with open(path, "wb") as f:
+                    pickle.dump(payload, f)
+        except OSError:
+            return False
+        return True
 
     @staticmethod
     def load(path: str) -> "SparseGpx":

@@ -37,7 +37,9 @@ class GpConfig:
     corr_spec: CorrelationSpec = CorrelationSpec.SQUARED_EXPONENTIAL
     kpls_dim: Optional[int] = None
     n_clusters: int = 1  # >0 fixed, 0 auto, <0 automax(-n)
-    recombination: Recombination = Recombination.SMOOTH
+    # default HARD matches the Python-facing reference default
+    # (python/src/gp_config.rs:70-81 GpConfig::default -> Recombination::Hard)
+    recombination: Recombination = Recombination.HARD
     theta_init: Optional[Sequence[float]] = None
     theta_bounds: Optional[Sequence[Sequence[float]]] = None
     n_start: int = 10

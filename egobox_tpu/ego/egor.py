@@ -156,12 +156,17 @@ class Egor:
         if run_recorder_enabled():
             # structured benchmark-format run log
             # (ref: utils/run_recorder.rs, hooks egor.rs:299-318)
+            # run_info carries (fname, num) metadata into the run log
+            # (ref: egor.rs:299-318 test_function / replication_number)
             recorder = RunRecorder(
                 problem_metadata={
                     "dim": self.solver.nx,
                     "n_cstr": cfg.n_cstr,
                     "xlimits": self.solver.xlimits.tolist(),
-                    "run_info": None if run_info is None else str(run_info),
+                    "test_function": "" if run_info is None
+                    else str(getattr(run_info, "fname", run_info)),
+                    "replication_number": 0 if run_info is None
+                    else int(getattr(run_info, "num", 0)),
                 },
                 algorithm_parameters={
                     "max_iters": max_iters,

@@ -159,6 +159,29 @@ def sgp_predict_valvar(model: SgpModel, x: jnp.ndarray):
     return sgp_predict(model, x), sgp_predict_var(model, x)
 
 
+def sgp_sample(model: SgpModel, x: jnp.ndarray, n_traj: int, key,
+               method: str = "eig") -> jnp.ndarray:
+    """Draw trajectories at x -> (m, n_traj): posterior mean plus noise with
+    the PRIOR covariance sigma2*K(x,x), matching the reference's SGP sample
+    (ref: sparse_algorithm.rs:338-361 _sample uses compute_k(x,x), and the
+    shared sampler algorithm.rs:1153-1194 with eigenvalues floored at 1e-9).
+    """
+    x = jnp.atleast_2d(x)
+    m = x.shape[0]
+    cov = _k(model.corr, x, x, model.w_star, model.theta, model.sigma2)
+    if method == "chol":
+        c = jnp.linalg.cholesky(
+            cov + 1e-9 * model.sigma2 * jnp.eye(m, dtype=cov.dtype)
+        )
+    else:
+        evals, evecs = jnp.linalg.eigh(cov)
+        evals = jnp.where(evals < 1e-9, 0.0, evals)
+        c = evecs @ (jnp.sqrt(evals)[:, None] * evecs.T)
+    mean = sgp_predict(model, x)[:, None]
+    z = jax.random.normal(key, (m, n_traj), dtype=cov.dtype)
+    return mean + c @ z
+
+
 def sgp_predict_gradients(model: SgpModel, x: jnp.ndarray) -> jnp.ndarray:
     g = jax.grad(lambda xi: sgp_predict(model, xi[None, :])[0])
     return jax.vmap(g)(jnp.atleast_2d(x))

@@ -103,10 +103,17 @@ class Recombination(enum.Enum):
 
 
 class SparseMethod(enum.Enum):
-    """Sparse GP approximation (ref: gp/src/sparse_parameters.rs)."""
+    """Sparse GP approximation (ref: gp/src/sparse_parameters.rs).
+
+    Canonical members are FITC/VFE (the reference pyclass renames to
+    SCREAMING_SNAKE_CASE, python/src/types.rs:152); Fitc/Vfe are aliases
+    matching the stubgen names in egobox.pyi:827-830.
+    """
 
     FITC = "Fitc"
     VFE = "Vfe"
+    Fitc = "Fitc"  # alias
+    Vfe = "Vfe"  # alias
 
 
 class GpFileFormat(enum.Enum):
@@ -160,18 +167,22 @@ class OptimResult:
 
 @dataclass
 class ExpectedOptimum:
-    """Known optimum used as early-stop target (ref: python/src/types.rs)."""
+    """Known optimum used as early-stop target
+    (ref: egobox.pyi:198-202 — fields val/tol)."""
 
-    value: float
-    tolerance: float = 1e-6
+    val: float
+    tol: float = 1e-6
 
 
 @dataclass
 class RunInfo:
-    """Run metadata recorded by the run recorder."""
+    """Run metadata recorded by the run recorder
+    (ref: crates/ego/src/egor.rs:131-137, egobox.pyi:578-587):
+    ``fname`` is the objective-function name, ``num`` a replication number.
+    """
 
-    name: str = "egor-run"
-    version: str = "0.1.0"
+    fname: str = ""
+    num: int = 0
 
 
 class HotStartMode(enum.Enum):
