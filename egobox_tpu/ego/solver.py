@@ -311,7 +311,12 @@ class EgorSolver:
         fcstrs: Sequence[Callable] = (),
         init: bool = False,
         xlimits: Optional[np.ndarray] = None,
+        seed_xlimits: Optional[np.ndarray] = None,
     ):
+        """``seed_xlimits`` restricts only the multistart seed region (the
+        TREGO trust region, ref: trego.rs:34-76 LocalLhsMultiStarter) while
+        the criterion is still optimized within ``xlimits``; ``xlimits``
+        overrides the optimization box itself (mixint subspaces)."""
         cfg = self.config
         xlimits = self.xlimits if xlimits is None else xlimits
         crit = _CRIT_NAME[cfg.infill_strategy]
@@ -356,13 +361,14 @@ class EgorSolver:
             use_middle = not os.environ.get(
                 "EGOR_DO_NOT_USE_MIDDLEPICKER_MULTISTARTER"
             )
-            if xlimits is self.xlimits and use_middle:
+            seed_box = seed_xlimits if seed_xlimits is not None else xlimits
+            if seed_box is self.xlimits and use_middle:
                 starts = middle_picker_starts(
-                    state.rng, xt, xlimits, cfg.n_start,
-                    lambda n: self._lhs_in(n, xlimits),
+                    state.rng, xt, seed_box, cfg.n_start,
+                    lambda n: self._lhs_in(n, seed_box),
                 )
             else:
-                starts = self._lhs_in(cfg.n_start, xlimits)
+                starts = self._lhs_in(cfg.n_start, seed_box)
             starts = jnp.asarray(np.clip(
                 starts, xlimits[:, 0], xlimits[:, 1]
             ))

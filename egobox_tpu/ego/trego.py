@@ -32,12 +32,14 @@ def trego_local_step(
     fobj: Callable,
     fcstrs: Sequence[Callable] = (),
 ) -> EgorState:
-    """One local infill step inside the trust region
-    (ref: trego.rs:84-200)."""
+    """One local infill step: multistart seeds are drawn inside the trust
+    region but the criterion is optimized within the FULL xlimits, matching
+    the reference (trego.rs:53-76 LocalLhsMultiStarter samples local_area;
+    optimize_infill_criterion runs over self.xlimits)."""
     xbest = state.x_data[state.best_index]
     area = _local_area(solver, xbest)
     x_dat, _, _ = solver.select_next_points(
-        state, fcstrs, init=False, xlimits=area
+        state, fcstrs, init=False, seed_xlimits=area
     )
     keep = [
         i

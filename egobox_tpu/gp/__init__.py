@@ -3,7 +3,7 @@
 TPU-native rebuild of the egobox `gp` crate (crates/gp in /root/reference).
 """
 
-from .fit import fit_gp, fit_gp_core
+from .fit import GpFitError, fit_gp, fit_gp_core
 from .gp import (
     GpModel,
     predict_kth_derivatives,
@@ -58,6 +58,7 @@ def sparse_kriging(x, y, **kwargs):
     return fit_sgp(x, y, **kwargs)
 
 __all__ = [
+    "GpFitError",
     "GpInnerParams",
     "SgpModel",
     "fit_sgp",

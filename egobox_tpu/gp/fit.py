@@ -38,6 +38,12 @@ GP_DEFAULT_THETA_INIT = 0.1
 GP_DEFAULT_THETA_BOUNDS = (1e-2, 1e1)
 
 
+class GpFitError(RuntimeError):
+    """Unrecoverable GP fit: likelihood non-finite after nugget escalation
+    (mirrors the reference's LikelihoodComputationError,
+    gp/src/algorithm.rs:1009-1027)."""
+
+
 def _masked_norm(v, m, n_obs):
     mean = jnp.sum(v * m[:, None], axis=0) / n_obs
     var = jnp.sum(((v - mean) ** 2) * m[:, None], axis=0) / jnp.maximum(
@@ -256,6 +262,15 @@ def fit_gp(
             max_iters=max_iters, fixed=theta_fixed, nugget=nugget,
         )
         if bool(jnp.isfinite(model.likelihood)):
-            break
+            return model
         nugget *= 100.0
-    return model
+    # retries exhausted with a non-finite likelihood: the Cholesky failed at
+    # every escalated nugget — surface the failure instead of silently
+    # returning a garbage surrogate (the reference errors out of fit,
+    # gp/src/algorithm.rs:1009-1027 LikelihoodComputationError)
+    raise GpFitError(
+        "GP fit failed: reduced likelihood is non-finite after 3 "
+        f"nugget escalations (final nugget={nugget:.3g}, n={int(n)}, "
+        f"corr={corr}, trend={trend}). The training design is likely "
+        "degenerate (duplicated or collinear points)."
+    )

@@ -183,3 +183,13 @@ def test_multioutput_rejected():
     yt = jnp.zeros((5, 2))
     with pytest.raises(ValueError):
         gp.fit_gp(xt, yt)
+
+
+def test_unrecoverable_fit_raises():
+    """Nugget-escalation retries that still yield a non-finite likelihood
+    must raise GpFitError instead of silently returning a garbage model
+    (ref behavior: gp/src/algorithm.rs:1009-1027 errors out of fit)."""
+    xt = jnp.array([[0.0], [1.0], [jnp.nan], [3.0], [4.0]])
+    yt = jnp.array([0.0, 1.0, 1.5, 0.9, 1.0])
+    with pytest.raises(gp.GpFitError, match="non-finite"):
+        gp.fit_gp(xt, yt, n_start=1, max_iters=3)
