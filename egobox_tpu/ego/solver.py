@@ -226,22 +226,32 @@ class EgorSolver:
             len(gpc.regr_names) > 1 or len(gpc.corr_names) > 1
         )
         if gpc.n_clusters != 1 or multi_combo:
-            models = self._train_moe(state, xt, yt)
+            models = self._train_moe(state, xt, yt, optimize_theta)
         else:
             models = self._train_gp_batched(state, xt, yt, optimize_theta)
         record_gp_models(self.config.outdir, state.iter, models)
         return models
 
-    def _train_moe(self, state: EgorState, xt: np.ndarray, yt: np.ndarray):
+    def _train_moe(self, state: EgorState, xt: np.ndarray, yt: np.ndarray,
+                   optimize_theta: bool = True):
         """Clustered-mixture surrogates, one GpMixture per output
-        (ref: make_clustered_surrogate, solver_impl.rs:121-296)."""
-        from ..moe.moe import train_moe, train_moe_on_clusters
+        (ref: make_clustered_surrogate, solver_impl.rs:121-296). When
+        ``optimize_theta`` is False (q_optmod skip iterations) the previous
+        experts' (trend, corr, theta) are reused as FIXED hyperparameters
+        (ref: solver_impl.rs:643-645)."""
+        from ..moe.moe import expert_params, train_moe, train_moe_on_clusters
 
         gpc = self.config.gp_config
         m = yt.shape[1]
         recluster = self.have_to_recluster(state)
         mixes = []
         clusterings = [] if recluster or state.clusterings is None else None
+        reuse = (
+            not optimize_theta
+            and clusterings is None
+            and state.moe_params is not None
+            and len(state.moe_params) == m
+        )
         for k in range(m):
             if clusterings is not None:
                 mix = train_moe(
@@ -259,6 +269,9 @@ class EgorSolver:
                 clusterings.append((mix.gmx, mix.recombination))
             else:
                 gmx, recomb = state.clusterings[k]
+                fixed = state.moe_params[k] if reuse else None
+                if fixed is not None and len(fixed) != gmx.n_clusters:
+                    fixed = None
                 mix = train_moe_on_clusters(
                     xt, yt[:, k], gmx, recomb,
                     regr_names=gpc.regr_names,
@@ -268,10 +281,12 @@ class EgorSolver:
                     seed=int(state.rng.integers(0, 2**31)),
                     theta_init=self.theta_init,
                     theta_bounds=self.theta_bounds,
+                    fixed_params=fixed,
                 )
             mixes.append(mix)
         if clusterings is not None:
             state.clusterings = clusterings
+        state.moe_params = [expert_params(mix) for mix in mixes]
         return tuple(mix.to_model() for mix in mixes)
 
     def _train_gp_batched(self, state: EgorState, xt: np.ndarray,

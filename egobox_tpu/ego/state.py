@@ -35,9 +35,13 @@ class EgorState:
     # CoEGO activity groups (ref: egor_state.rs activity)
     activity: Optional[np.ndarray] = None
     # per-output (gmx, recombination) clusterings for the MoE surrogate
-    # path (ref: egor_state.rs clusterings); not checkpointed — rebuilt on
-    # resume
+    # path, checkpointed so hot-start resumes with the identical clustering
+    # (ref: egor_state.rs:25-105 clusterings field)
     clusterings: Optional[list] = None
+    # per-output per-expert (trend, corr, theta) of the last MoE training,
+    # reused as Fixed hyperparameters on q_optmod skip iterations
+    # (ref: solver_impl.rs:643-645)
+    moe_params: Optional[list] = None
     rng: np.random.Generator = field(
         default_factory=lambda: np.random.default_rng(42)
     )
@@ -80,6 +84,8 @@ class EgorState:
             "activity": None
             if self.activity is None
             else self.activity.tolist(),
+            "clusterings": _clusterings_to_json(self.clusterings),
+            "moe_params": self.moe_params,
             "rng_state": self.rng.bit_generator.state,
         }
 
@@ -111,5 +117,57 @@ class EgorState:
             activity=None
             if d.get("activity") is None
             else np.asarray(d["activity"]),
+            clusterings=_clusterings_from_json(d.get("clusterings")),
+            moe_params=_moe_params_from_json(d.get("moe_params")),
             rng=rng,
         )
+
+
+def _clusterings_to_json(clusterings) -> Optional[list]:
+    """Serialize per-output (GaussianMixture, Recombination) pairs
+    (ref: egor_state.rs:25-105 serde on clusterings)."""
+    if clusterings is None:
+        return None
+    out = []
+    for gmx, recomb in clusterings:
+        out.append({
+            "weights": np.asarray(gmx.weights).tolist(),
+            "means": np.asarray(gmx.means).tolist(),
+            "covariances": np.asarray(gmx.covariances).tolist(),
+            "precisions_chol": np.asarray(gmx.precisions_chol).tolist(),
+            "heaviside_factor": float(gmx.heaviside_factor),
+            "recombination": recomb.value,
+        })
+    return out
+
+
+def _clusterings_from_json(payload) -> Optional[list]:
+    if payload is None:
+        return None
+    import jax.numpy as jnp
+
+    from ..moe.gaussian_mixture import GaussianMixture
+    from ..types import Recombination
+
+    out = []
+    for g in payload:
+        gmx = GaussianMixture(
+            weights=jnp.asarray(g["weights"]),
+            means=jnp.asarray(g["means"]),
+            covariances=jnp.asarray(g["covariances"]),
+            precisions_chol=jnp.asarray(g["precisions_chol"]),
+            heaviside_factor=jnp.asarray(g["heaviside_factor"]),
+        )
+        out.append((gmx, Recombination(g["recombination"])))
+    return out
+
+
+def _moe_params_from_json(payload) -> Optional[list]:
+    """JSON round-trips tuples as lists; restore the (trend, corr, theta)
+    tuple shape expected by train_moe_on_clusters."""
+    if payload is None:
+        return None
+    return [
+        [None if p is None else (p[0], p[1], p[2]) for p in per_output]
+        for per_output in payload
+    ]

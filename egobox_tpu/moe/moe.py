@@ -434,6 +434,19 @@ def optimize_heaviside_factor(experts, gmx, xtest, ytest) -> float:
     return float(factors[int(np.argmin(errors))])
 
 
+def expert_params(mix: GpMixture) -> list:
+    """Extract per-expert (trend, corr, theta) so a later refit can reuse
+    them as Fixed hyperparameters (ref: solver_impl.rs:643-645 q_optmod
+    theta reuse). Sparse experts return None (always retrained)."""
+    out = []
+    for e in mix.experts:
+        if isinstance(e, SgpModel):
+            out.append(None)
+        else:
+            out.append((e.trend, e.corr, np.asarray(e.theta).tolist()))
+    return out
+
+
 def train_moe_on_clusters(
     x,
     y,
@@ -447,30 +460,42 @@ def train_moe_on_clusters(
     seed: int = 42,
     theta_init=None,
     theta_bounds=None,
+    fixed_params: Optional[list] = None,
 ) -> GpMixture:
     """Retrain experts on an EXISTING clustering (ref: train_on_clusters,
-    moe/src/algorithm.rs) — used by the EGO solver between reclusterings."""
+    moe/src/algorithm.rs) — used by the EGO solver between reclusterings.
+
+    ``fixed_params``: per-cluster (trend, corr, theta) from a previous fit;
+    when given, each expert is refit on the new data at those FIXED
+    hyperparameters (no CV selection, no multistart) — the q_optmod
+    hyperparameter-reuse mode (ref: solver_impl.rs:643-645)."""
     x = np.atleast_2d(np.asarray(x, dtype=float))
     y = np.asarray(y, dtype=float).reshape(x.shape[0])
     k = gmx.n_clusters
-    if k == 1:
-        expert = find_best_expert(
-            x, y, regr_names, corr_names, kpls_dim, n_start, seed,
+
+    def fit_cluster(xc, yc, c):
+        p = fixed_params[c] if fixed_params is not None else None
+        if p is not None:
+            trend, corr, theta = p
+            return fit_gp(
+                jnp.asarray(xc), jnp.asarray(yc), corr=corr, trend=trend,
+                kpls_dim=kpls_dim, theta_init=jnp.asarray(theta),
+                theta_fixed=True, seed=seed, theta_bounds=theta_bounds,
+            )
+        return find_best_expert(
+            xc, yc, regr_names, corr_names, kpls_dim, n_start, seed,
             theta_init, theta_bounds,
         )
-        return GpMixture([expert], gmx, recombination)
+
+    if k == 1:
+        return GpMixture([fit_cluster(x, y, 0)], gmx, recombination)
     assign = np.asarray(predict_cluster(gmx, jnp.asarray(x)))
     experts = []
     for c in range(k):
         sel = assign == c
         if sel.sum() < 3:
             sel = np.ones(x.shape[0], dtype=bool)
-        experts.append(
-            find_best_expert(
-                x[sel], y[sel], regr_names, corr_names, kpls_dim,
-                n_start, seed, theta_init, theta_bounds,
-            )
-        )
+        experts.append(fit_cluster(x[sel], y[sel], c))
     return GpMixture(experts, gmx, recombination)
 
 
