@@ -306,6 +306,33 @@ class EgorSolver:
                 ).copy()
             else:
                 theta0s = np.full((m, dim), 0.1)
+        if (
+            self.config.coego_n_coop > 1
+            and self.config.coego_partial_theta_tuning
+            and optimize_theta
+            and state.activity is not None
+        ):
+            # CoEGO partial theta tuning: one fit per activity group, only
+            # the group's theta components free, inits accumulating across
+            # groups (ref: solver_impl.rs:162-247 + coego.rs:98-126).
+            # The active mask is traced, so all groups share one compile.
+            from .coego import activity_theta_mask
+
+            models = None
+            for group in state.activity:
+                models = train_gp_surrogates(
+                    xp, yp, mask, self.spec,
+                    theta0s=jnp.asarray(theta0s),
+                    optimize_theta=True,
+                    theta_bounds=jnp.asarray(self.theta_bounds),
+                    seed=int(state.rng.integers(0, 2**31)),
+                    active_theta=jnp.asarray(
+                        activity_theta_mask(group, dim)
+                    ),
+                )
+                theta0s = np.asarray(models.theta)
+            state.theta_inits = theta0s
+            return models
         models = train_gp_surrogates(
             xp, yp, mask, self.spec,
             theta0s=jnp.asarray(theta0s),
@@ -347,6 +374,16 @@ class EgorSolver:
         fmin = float(state.y_data[state.best_index, 0])
         lo = jnp.asarray(xlimits[:, 0])
         hi = jnp.asarray(xlimits[:, 1])
+
+        if cfg.coego_n_coop > 1:
+            # resample the cooperative activity once per iteration so both
+            # the partial theta tuning and the partial infill optimization
+            # see the same groups (ref: egor_solver.rs:372-377)
+            from .coego import get_random_activity
+
+            state.activity = get_random_activity(
+                state.rng, self.nx, cfg.coego_n_coop
+            )
 
         for i in range(cfg.q_points):
             if x_dat:
@@ -441,19 +478,18 @@ class EgorSolver:
 
             if cfg.coego_n_coop > 1:
                 # cooperative partial optimization for high dimensions
-                # (ref: coego.rs; activity resampled each iteration,
-                # egor_solver.rs:351-418)
-                from .coego import coego_optimize_infill, get_random_activity
+                # (ref: coego.rs; the per-iteration activity was sampled
+                # above, before surrogate training)
+                from .coego import coego_optimize_infill
 
-                activity = get_random_activity(
-                    state.rng, self.nx, cfg.coego_n_coop
-                )
-                state.activity = activity
                 starts_np = np.asarray(starts)
+                xb, yb, cb = state.best()
                 xk_np, fk = coego_optimize_infill(
-                    self, models, state.x_data[state.best_index], activity,
+                    self, models, (xb, yb, cb), state.activity,
                     lambda: starts_np, xlimits[:, 0], xlimits[:, 1],
                     crit_kwargs,
+                    cstr_tols=state.cstr_tol,
+                    fcstrs=fcstrs,
                 )
                 xk = jnp.asarray(xk_np)
             else:

@@ -32,8 +32,9 @@ class EgorState:
     in_local_phase: bool = False
     local_steps_left: int = 0
     prev_best_y: Optional[float] = None
-    # CoEGO activity groups (ref: egor_state.rs activity)
-    activity: Optional[np.ndarray] = None
+    # CoEGO activity groups: list of per-group component-index arrays
+    # (ref: egor_state.rs activity)
+    activity: Optional[list] = None
     # per-output (gmx, recombination) clusterings for the MoE surrogate
     # path, checkpointed so hot-start resumes with the identical clustering
     # (ref: egor_state.rs:25-105 clusterings field)
@@ -83,7 +84,7 @@ class EgorState:
             "prev_best_y": self.prev_best_y,
             "activity": None
             if self.activity is None
-            else self.activity.tolist(),
+            else [np.asarray(g).tolist() for g in self.activity],
             "clusterings": _clusterings_to_json(self.clusterings),
             "moe_params": self.moe_params,
             "rng_state": self.rng.bit_generator.state,
@@ -116,7 +117,7 @@ class EgorState:
             prev_best_y=d["prev_best_y"],
             activity=None
             if d.get("activity") is None
-            else np.asarray(d["activity"]),
+            else [np.asarray(g, dtype=int) for g in d["activity"]],
             clusterings=_clusterings_from_json(d.get("clusterings")),
             moe_params=_moe_params_from_json(d.get("moe_params")),
             rng=rng,

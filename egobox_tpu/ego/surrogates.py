@@ -50,10 +50,8 @@ class GpSpec:
     static_argnames=("corr", "trend", "kpls_dim", "n_start", "max_iters",
                      "fixed", "nugget"),
 )
-def _fit_batch(x, ys, mask, theta0s, lo, up, key, *, corr, trend, kpls_dim,
-               n_start, max_iters, fixed, nugget):
-    active = jnp.ones_like(theta0s[0], dtype=bool)
-
+def _fit_batch(x, ys, mask, theta0s, lo, up, active, key, *, corr, trend,
+               kpls_dim, n_start, max_iters, fixed, nugget):
     def fit_one(y, theta0):
         return fit_gp_core(
             x, y[:, None], mask, theta0, lo, up, active, key,
@@ -73,12 +71,17 @@ def train_gp_surrogates(
     optimize_theta: bool = True,
     theta_bounds=None,
     seed: int = 42,
+    active_theta: Optional[jnp.ndarray] = None,  # (dim,) bool
 ) -> GpModel:
     """Fit one GP per column of ``y_all``; returns a batched GpModel pytree
     with leading axis m.
 
     ``optimize_theta=False`` reuses ``theta0s`` as fixed hyperparameters —
     the reference's q_optmod thinning (solver_impl.rs:643-645).
+    ``active_theta`` restricts the optimization to a subset of theta
+    components, the inactive ones staying pinned at their init — CoEGO's
+    partial theta tuning (ref: coego.rs:98-126 set_partial_theta_tuning).
+    The mask is a traced value, so per-group refits reuse one compilation.
     """
     n, nx = x.shape
     m = y_all.shape[1]
@@ -95,9 +98,11 @@ def train_gp_surrogates(
     # clip warm-started inits into the bounds
     theta0s = jnp.clip(theta0s, lo[None, :], up[None, :])
 
+    if active_theta is None:
+        active_theta = jnp.ones((dim,), dtype=bool)
     key = jax.random.key(seed)
     return _fit_batch(
-        x, y_all.T, mask, theta0s, lo, up, key,
+        x, y_all.T, mask, theta0s, lo, up, active_theta, key,
         corr=spec.corr, trend=spec.trend, kpls_dim=spec.kpls_dim,
         n_start=spec.n_start, max_iters=spec.max_iters,
         fixed=not optimize_theta, nugget=spec.nugget,

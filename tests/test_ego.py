@@ -207,8 +207,8 @@ def test_xsinx_with_reclustering():
 
 
 def test_coego_sphere():
-    """CoEGO cooperative partial optimization (ref: solver/coego.rs; the
-    reference gates it at nx>100 — exercised here at d=12, n_coop=3)."""
+    """CoEGO cooperative partial optimization, d=12 smoke test
+    (ref: solver/coego.rs)."""
     dim = 12
     egor = Egor(
         np.array([[-5.0, 5.0]] * dim),
@@ -220,6 +220,49 @@ def test_coego_sphere():
     n_doe = max(dim + 1, 5)
     doe_best = res.y_doe[:n_doe, 0].min()
     assert res.y_opt[0] < 0.6 * doe_best  # clear improvement over the DoE
+
+
+def test_coego_reference_exact_modes(monkeypatch):
+    """The reference-parity CoEGO switches: per-group partial theta tuning
+    (coego.rs:98-126) and the trust-bound challenger check
+    (coego.rs:143-214, EGOR_COEGO_IMPROVEMENT_CHECK). Both paths must run
+    and still improve over the DoE."""
+    monkeypatch.setenv("EGOR_COEGO_IMPROVEMENT_CHECK", "1")
+    dim = 12
+    egor = Egor(
+        np.array([[-5.0, 5.0]] * dim),
+        seed=1,
+        coego_n_coop=3,
+        infill_strategy=egx.InfillStrategy.EI,
+    )
+    egor.config.coego_partial_theta_tuning = True
+    res = egor.minimize(sphere, max_iters=10)
+    n_doe = max(dim + 1, 5)
+    doe_best = res.y_doe[:n_doe, 0].min()
+    assert res.y_opt[0] < doe_best  # improves over the DoE
+
+
+def test_coego_high_dim_beats_plain_ego():
+    """CoEGO's actual regime: nx > 100 (the reference gates it at nx>100,
+    egor_config.rs:459-463). At equal budget on sphere d=120 the partial
+    cooperative optimization must beat plain EGO."""
+    dim = 120
+    xlimits = np.array([[-5.0, 5.0]] * dim)
+
+    def run(n_coop):
+        egor = Egor(
+            xlimits, seed=42, coego_n_coop=n_coop, n_doe=125,
+            infill_strategy=egx.InfillStrategy.EI,
+        )
+        return egor.minimize(sphere, max_iters=10)
+
+    res_coego = run(5)
+    res_plain = run(0)
+    doe_best = res_coego.y_doe[:125, 0].min()
+    # cooperative optimization makes real progress at d=120 ...
+    assert res_coego.y_opt[0] < 0.5 * doe_best
+    # ... and beats full-space EGO at equal budget
+    assert res_coego.y_opt[0] < res_plain.y_opt[0]
 
 
 def test_qei_multipoint():
