@@ -69,7 +69,7 @@ def _infill_obj_terms(crit, means, vrs, fmin, scale_infill, scale_wb2,
     jax.jit,
     static_argnames=(
         "crit", "cstr_strategy", "n_cstr", "cstr_infill",
-        "inner_iters", "n_outer", "feasibility",
+        "inner_iters", "n_outer", "feasibility", "optimizer",
     ),
 )
 def optimize_infill(
@@ -91,8 +91,23 @@ def optimize_infill(
     inner_iters: int = 40,
     n_outer: int = 4,
     feasibility: bool = True,
+    optimizer: str = "COBYLA",
 ):
-    """Returns (x_best (nx,), infill_obj_best, per-start results)."""
+    """Returns (x_best (nx,), infill_obj_best, per-start results).
+
+    ``optimizer`` selects the constrained local method, mirroring the
+    reference's InfillOptimizer enum (optimizers/optimizer.rs:12-224):
+
+    - "COBYLA": augmented-Lagrangian L-BFGS (multiplier estimates across
+      n_outer rounds) — the role of the reference's default
+      derivative-free trust-region method;
+    - "SLSQP": single-loop smoothed-L1 exact-penalty L-BFGS at the same
+      total iteration budget — the gradient-based SQP role (penalty weight
+      is fixed and large since the constraints arrive pre-scaled to O(1)).
+
+    Both are jitted and vmapped over starts; unconstrained problems share
+    one plain bounded L-BFGS path.
+    """
     dtype = starts.dtype
 
     def infill_obj(x):
@@ -120,6 +135,38 @@ def optimize_infill(
             if cstr_strategy == "UTB":
                 g = g + CSTR_DOUBT * jnp.sqrt(jnp.maximum(vrs[1:], 0.0))
             return (g - cstr_tols) / scale_cstr
+
+        if optimizer == "SLSQP":
+
+            def solve_one(x0):
+                def one_round(x, mu):
+                    eps = jnp.asarray(1e-8, dtype)
+
+                    def penalized(xx):
+                        f = infill_obj(xx)
+                        h = jnp.maximum(cstr_viol(xx), 0.0)
+                        # smoothed L1 hinge: exact-penalty behavior with a
+                        # differentiable kink for a sane L-BFGS line search
+                        return f + mu * jnp.sum(
+                            jnp.sqrt(h * h + eps * eps) - eps
+                        )
+
+                    res = minimize_lbfgsb(
+                        penalized, x, lo, hi,
+                        max_iters=inner_iters * n_outer // 3,
+                    )
+                    return res.x, None
+
+                # penalty continuation (multiplier-free, distinct from the
+                # AL path) at the same total iteration budget
+                mus = jnp.asarray([10.0, 100.0, 1000.0], dtype)
+                x, _ = lax.scan(one_round, x0, mus)
+                f = infill_obj(x)
+                v = jnp.sum(jnp.maximum(cstr_viol(x), 0.0))
+                return x, f, v
+
+            xs, fs, vs = jax.vmap(solve_one)(starts)
+            return _pick_best(xs, fs, vs)
 
         def solve_one(x0):
             lam0 = jnp.zeros((n_cstr,), dtype)
@@ -150,8 +197,13 @@ def optimize_infill(
             return x, f, v
 
     xs, fs, vs = jax.vmap(solve_one)(starts)
-    fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
+    return _pick_best(xs, fs, vs)
 
+
+def _pick_best(xs, fs, vs):
+    """Best feasible start, else least-violating (shared by both
+    constrained optimizers)."""
+    fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
     feas = vs <= 1e-6
     any_feas = jnp.any(feas)
     score = jnp.where(feas, fs, jnp.inf)

@@ -26,6 +26,7 @@ from ..doe.lhs import LhsKind, lhs_normalized, scale_to_xlimits
 from ..gp.kernels import theta_bounds_heuristic
 from ..types import (
     ConstraintStrategy,
+    InfillOptimizer,
     InfillStrategy,
     QInfillStrategy,
 )
@@ -56,6 +57,10 @@ _QEI_NAME = {
     QInfillStrategy.KBLB: "KBLB",
     QInfillStrategy.KBUB: "KBUB",
     QInfillStrategy.CLMIN: "CLMIN",
+}
+_OPT_NAME = {
+    InfillOptimizer.COBYLA: "COBYLA",
+    InfillOptimizer.SLSQP: "SLSQP",
 }
 
 
@@ -436,6 +441,7 @@ class EgorSolver:
                 scale_cstr=scale_cstr, cstr_tols=surrogate_tols,
                 crit=crit, cstr_strategy=cstrat, n_cstr=n_cstr,
                 cstr_infill=cfg.cstr_infill, feasibility=feasibility,
+                optimizer=_OPT_NAME[cfg.infill_optimizer],
             )
             if (
                 os.environ.get("EGOR_USE_GP_VAR_PORTFOLIO")
@@ -460,6 +466,7 @@ class EgorSolver:
                         crit=crit, cstr_strategy=cstrat, n_cstr=n_cstr,
                         cstr_infill=cfg.cstr_infill,
                         feasibility=feasibility,
+                        optimizer=_OPT_NAME[cfg.infill_optimizer],
                     )
                     props.append(np.asarray(xk_w))
                 props = np.stack(props)

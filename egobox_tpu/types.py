@@ -74,10 +74,12 @@ class QInfillStrategy(enum.Enum):
 
 
 class InfillOptimizer(enum.Enum):
-    """Local optimizer used for infill maximization
-    (ref: ego/src/optimizers/optimizer.rs). In egobox_tpu both map to the
-    vmapped, jit-compiled multistart optimizer; COBYLA additionally runs a
-    derivative-free polish on host."""
+    """Local optimizer used for constrained infill maximization
+    (ref: ego/src/optimizers/optimizer.rs:12-224). Both are jitted vmapped
+    multistart methods: COBYLA maps to the augmented-Lagrangian L-BFGS
+    (plus the native derivative-free simplex polish when user function
+    constraints are present), SLSQP to a smoothed-L1 exact-penalty L-BFGS
+    (the gradient-based SQP role)."""
 
     COBYLA = "Cobyla"
     SLSQP = "Slsqp"

@@ -317,3 +317,29 @@ def test_nan_objective_robustness():
     res = egor.minimize(nan_prone, max_iters=12)
     assert abs(res.y_opt[0] - (-15.125)) < 1e-2
     assert not np.isnan(res.y_doe).any()
+
+
+def test_infill_optimizer_slsqp_g24():
+    """InfillOptimizer.SLSQP (smoothed-L1 exact-penalty L-BFGS) must hit
+    the G24 golden like the default COBYLA-role AL optimizer, while taking
+    a measurably different search trace (ref: optimizers/optimizer.rs:12-224
+    offers both methods)."""
+
+    def run(opt):
+        egor = Egor(
+            [[0.0, 3.0], [0.0, 4.0]],
+            cstr_tol=np.array([1e-3, 1e-3]),
+            n_cstr=2,
+            seed=42,
+            n_doe=5,
+            infill_optimizer=opt,
+            cstr_strategy=egx.ConstraintStrategy.UTB,
+        )
+        return egor.minimize(g24, max_iters=30)
+
+    res_slsqp = run(egx.InfillOptimizer.SLSQP)
+    assert abs(res_slsqp.y_opt[0] - (-5.5080)) < 1e-2
+    res_cobyla = run(egx.InfillOptimizer.COBYLA)
+    assert abs(res_cobyla.y_opt[0] - (-5.5080)) < 1e-2
+    # the two optimizers take different traces (same seed, same DoE)
+    assert not np.allclose(res_slsqp.x_doe, res_cobyla.x_doe)
