@@ -214,22 +214,17 @@ class Gpx:
     # -- QA metrics (ref: GpQualityAssurance, moe/src/metrics.rs) ---------
 
     def _fit_predict_hook(self):
+        """Batched CV hook: all fold-fits run as one vmapped masked-fit
+        program (moe/metrics.py gp_fit_predict)."""
+        from .moe.metrics import gp_fit_predict
+
         b = self._builder or GpMix()
-
-        def fp(x, y, mask, x_test):
-            from .gp.fit import fit_gp
-            from .gp.gp import predict_valvar
-
-            model = fit_gp(
-                jnp.asarray(x), jnp.asarray(y),
-                corr=correlation_spec_names(b.corr_spec)[0],
-                trend=regression_spec_names(b.regr_spec)[0],
-                kpls_dim=b.kpls_dim, n_start=min(max(b.n_start, 1), 5),
-                mask=jnp.asarray(mask), seed=b.seed, max_iters=20,
-            )
-            return predict_valvar(model, jnp.asarray(x_test))
-
-        return fp
+        return gp_fit_predict(
+            corr=correlation_spec_names(b.corr_spec)[0],
+            trend=regression_spec_names(b.regr_spec)[0],
+            kpls_dim=b.kpls_dim, n_start=min(max(b.n_start, 1), 5),
+            seed=b.seed, max_iters=20,
+        )
 
     def q2(self, kfold: Optional[int] = None) -> float:
         x, y = self._training

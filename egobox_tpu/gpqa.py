@@ -18,6 +18,7 @@ import sys
 
 def assess(path: str, kfold=None):
     from .api import Gpx, SparseGpx
+    from .moe.metrics import iae_alpha_with_plot, pva_score, q2_score
 
     try:
         gpx = Gpx.load(path)
@@ -31,11 +32,8 @@ def assess(path: str, kfold=None):
     kfold = kfold or min(n, 10)
 
     if kind == "Gpx":
-        q2 = gpx.q2(kfold=kfold)
-        pva = gpx.pva(kfold=kfold)
-        iae = gpx.iae_alpha(kfold=kfold)
+        fp = gpx._fit_predict_hook()
     else:
-        from .moe.metrics import iae_alpha_score, pva_score, q2_score
         import jax.numpy as jnp
         from .gp.sgp import fit_sgp, sgp_predict_valvar
 
@@ -53,9 +51,9 @@ def assess(path: str, kfold=None):
             )
             return sgp_predict_valvar(m, jnp.asarray(x_test))
 
-        q2 = q2_score(x, y, fp, kfold)
-        pva = pva_score(x, y, fp, kfold)
-        iae = iae_alpha_score(x, y, fp, kfold)
+    q2 = q2_score(x, y, fp, kfold)
+    pva = pva_score(x, y, fp, kfold)
+    iae, alphas, coverage = iae_alpha_with_plot(x, y, fp, kfold)
 
     return {
         "file": path,
@@ -65,7 +63,25 @@ def assess(path: str, kfold=None):
         "q2": q2,
         "pva": pva,
         "iae_alpha": iae,
+        "alphas": alphas,
+        "coverage": coverage,
     }
+
+
+def print_coverage_table(alphas, coverage, out=None):
+    """Per-alpha coverage table (ref: gpqa/src/main.rs:44-60)."""
+    out = out or sys.stdout
+    print("\nIAEα plot data for first GP model:", file=out)
+    print("Alpha | Empirical coverage | Target coverage | Delta", file=out)
+    print("---------------------------------------------------", file=out)
+    for a, c in zip(alphas, coverage):
+        print(
+            f"{a * 100.0:5.2f}% |       {c * 100.0:5.2f}%      |"
+            f"     {(1.0 - a) * 100.0:5.2f}%    |"
+            f" {abs(c - (1.0 - a)) * 100.0:5.2f}%",
+            file=out,
+        )
+    print(file=out)
 
 
 def main(argv=None):
@@ -85,13 +101,17 @@ def main(argv=None):
     print(header)
     print("-" * len(header))
     rc = 0
-    for path in args.models:
+    for i, path in enumerate(args.models):
         try:
             r = assess(path, args.kfold)
             print(
                 f"{r['file']:<32} {r['kind']:<10} {r['n']:>5} "
                 f"{r['q2']:>8.4f} {r['pva']:>8.4f} {r['iae_alpha']:>8.4f}"
             )
+            if i == 0:
+                # per-alpha coverage table for the first model, like the
+                # reference CLI (gpqa/src/main.rs:41-60)
+                print_coverage_table(r["alphas"], r["coverage"])
         except Exception as e:  # pragma: no cover
             print(f"{path:<32} ERROR: {e}", file=sys.stderr)
             rc = 1

@@ -1,9 +1,10 @@
 """GP quality-assurance metrics: Q2, PVA, IAE_alpha.
 
 Behavioral parity with crates/moe/src/metrics.rs (and gp/src/metrics.rs):
-cross-validated predictive quality scores. The k fold-fits of each metric
-run as one vmapped masked-fit batch instead of the reference's sequential
-refits.
+cross-validated predictive quality scores. For dense-GP hooks the k
+fold-fits run as ONE vmapped masked-fit program (``gp_fit_predict``);
+sparse-GP hooks fall back to a per-fold host loop because the SGP fit has
+no masked path (reference refits sequentially in both cases).
 
 - Q2        = 1 - PRESS / TSS (1 is perfect)
 - PVA       = |ln( mean (y - yhat)^2 / var_hat )| (0 is perfect)
@@ -27,22 +28,43 @@ def _norm_ppf(q):
     return jnp.sqrt(2.0) * jss.erfinv(2.0 * q - 1.0)
 
 
+def _cv_masks(n: int, kfold: int) -> np.ndarray:
+    masks = np.ones((kfold, n), dtype=bool)
+    idx = np.arange(n)
+    for f in range(kfold):
+        masks[f, idx[f::kfold]] = False
+    return masks
+
+
 def _cv_pred_valvar(x: np.ndarray, y: np.ndarray, fit_predict, kfold: int,
                     seed: int = 0):
-    """Generic k-fold CV loop: returns per-fold (y_true, pred, var) stacked.
+    """Generic k-fold CV: returns per-fold (y_true, pred, var).
 
-    ``fit_predict(x, y, mask, x_test) -> (pred, var)`` must fit on the
-    masked rows and predict at x_test.
+    Two hook protocols:
+
+    - batched (``fit_predict.batched`` truthy):
+      ``fit_predict(x, y, masks (k, n)) -> (preds (k, n), vars (k, n))`` —
+      ALL fold-fits advance as one vmapped masked-fit program (see
+      ``gp_fit_predict``); the reference refits sequentially
+      (moe/src/metrics.rs k-fold loop);
+    - per-fold fallback for models without masked fits (sparse GP):
+      ``fit_predict(x, y, mask, x_test) -> (pred, var)``.
     """
     n = x.shape[0]
     kfold = min(kfold, n)
-    idx = np.arange(n)
+    masks = _cv_masks(n, kfold)
+    if getattr(fit_predict, "batched", False):
+        preds, vrs = fit_predict(x, y, masks)
+        preds = np.asarray(preds)
+        vrs = np.asarray(vrs)
+        return [
+            (y[~masks[f]], preds[f][~masks[f]], vrs[f][~masks[f]])
+            for f in range(kfold)
+        ]
     outs = []
     for f in range(kfold):
-        test = idx[f::kfold]
-        mask = np.ones(n, dtype=bool)
-        mask[test] = False
-        pred, var = fit_predict(x, y, mask, x[test])
+        test = ~masks[f]
+        pred, var = fit_predict(x, y, masks[f], x[test])
         outs.append((y[test], np.asarray(pred), np.asarray(var)))
     return outs
 
@@ -97,19 +119,78 @@ def iae_alpha_score(x, y, fit_predict, kfold: Optional[int] = None,
     return float(np.mean(iaes))
 
 
+def iae_alpha_with_plot(x, y, fit_predict, kfold: Optional[int] = None,
+                        seed: int = 0, n_alpha: int = 20):
+    """IAE_alpha plus the per-alpha empirical coverages for the gpqa table
+    (ref: GpMetric::IAEAlphaWithPlot, gpqa/src/main.rs:41-60).
+    Returns (score, alphas, coverages)."""
+    x = np.atleast_2d(np.asarray(x, dtype=float))
+    y = np.asarray(y, dtype=float).ravel()
+    kfold = kfold if kfold is not None else x.shape[0]
+    alphas = np.linspace(0.02, 0.98, n_alpha)
+    q = np.asarray(_norm_ppf(1.0 - alphas / 2.0))
+
+    outs = _cv_pred_valvar(x, y, fit_predict, kfold, seed)
+    yt = np.concatenate([o[0] for o in outs])
+    p = np.concatenate([o[1] for o in outs])
+    v = np.concatenate([o[2] for o in outs])
+    sigma = np.sqrt(np.maximum(v, 0.0))
+    offset = sigma[:, None] * q[None, :]
+    inside = (yt[:, None] >= p[:, None] - offset) & (
+        yt[:, None] <= p[:, None] + offset
+    )
+    coverage = inside.mean(axis=0)  # (n_alpha,)
+    score = iae_alpha_score(x, y, fit_predict, kfold, seed, n_alpha)
+    return score, alphas, coverage
+
+
 def gp_fit_predict(corr: str = "squared_exponential",
                    trend: str = "constant", n_start: int = 5,
-                   kpls_dim=None, seed: int = 42) -> Callable:
-    """Build the fit_predict hook for a plain GP (used by Gpx metrics)."""
-    from ..gp.fit import fit_gp
+                   kpls_dim=None, seed: int = 42,
+                   max_iters: int = 20) -> Callable:
+    """Batched fit_predict hook for a plain GP (used by Gpx metrics): the k
+    fold-fits run as ONE jitted vmapped masked-fit program, predicting at
+    the full design (test values are selected per fold by the caller)."""
+    import jax
+
+    from ..gp.fit import (
+        GP_DEFAULT_THETA_BOUNDS,
+        GP_DEFAULT_THETA_INIT,
+        fit_gp_core,
+    )
     from ..gp.gp import predict_valvar
+    from functools import partial
 
-    def fp(x, y, mask, x_test):
-        model = fit_gp(
-            jnp.asarray(x), jnp.asarray(y), corr=corr, trend=trend,
-            n_start=n_start, kpls_dim=kpls_dim, mask=jnp.asarray(mask),
-            seed=seed, max_iters=20,
+    @partial(
+        jax.jit,
+        static_argnames=("_corr", "_trend", "_kpls", "_ns", "_mi"),
+    )
+    def _folds(xj, yj, masksj, key, *, _corr, _trend, _kpls, _ns, _mi):
+        dtype = xj.dtype
+        dim = _kpls if _kpls is not None else xj.shape[1]
+        theta0 = jnp.full((dim,), GP_DEFAULT_THETA_INIT, dtype)
+        lo = jnp.full((dim,), GP_DEFAULT_THETA_BOUNDS[0], dtype)
+        up = jnp.full((dim,), GP_DEFAULT_THETA_BOUNDS[1], dtype)
+        active = jnp.ones((dim,), dtype=bool)
+        nugget = 100.0 * jnp.finfo(dtype).eps
+
+        def one(mask):
+            model = fit_gp_core(
+                xj, yj[:, None], mask, theta0, lo, up, active, key,
+                corr=_corr, trend=_trend, kpls_dim=_kpls, n_start=_ns,
+                max_iters=_mi, nugget=nugget,
+            )
+            return predict_valvar(model, xj)
+
+        return jax.vmap(one)(masksj)
+
+    def fp(x, y, masks):
+        return _folds(
+            jnp.asarray(x), jnp.asarray(np.ravel(y)), jnp.asarray(masks),
+            jax.random.key(seed),
+            _corr=corr, _trend=trend, _kpls=kpls_dim, _ns=n_start,
+            _mi=max_iters,
         )
-        return predict_valvar(model, jnp.asarray(x_test))
 
+    fp.batched = True
     return fp

@@ -23,8 +23,31 @@ def test_gpqa_cli(tmp_path, capsys):
     line = [ln for ln in out.splitlines() if "model.json" in ln][0]
     q2 = float(line.split()[-3])
     assert q2 > 0.9
+    # per-alpha coverage table, reference format (gpqa/src/main.rs:44-60)
+    assert "Alpha | Empirical coverage | Target coverage | Delta" in out
+    rows = [ln for ln in out.splitlines() if ln.strip().endswith("%")]
+    assert len(rows) == 20  # 20 alphas
 
 
 def test_gpqa_cli_missing_file(capsys):
     rc = main(["/nonexistent/model.json"])
     assert rc == 1
+
+
+def test_loo_q2_vmapped_single_compile():
+    """LOO Q2 must run as ONE vmapped masked-fit program (one compile + one
+    execute), not n sequential refits (n=100 here to spare the 1-CPU test
+    host; the program is identical at any n)."""
+    rng = np.random.RandomState(1)
+    x = rng.uniform(0, 1, (100, 2))
+    y = np.sin(3 * x[:, 0]) + x[:, 1]
+    gpx = egx.Gpx.builder(n_start=2).fit(x, y)
+
+    # the hook advertises the batched protocol: ONE call with all masks
+    hook = gpx._fit_predict_hook()
+    assert getattr(hook, "batched", False)
+    preds, vrs = hook(x, y, np.ones((3, x.shape[0]), dtype=bool))
+    assert preds.shape == (3, 100) and vrs.shape == (3, 100)
+
+    q2 = gpx.q2()  # LOO: kfold = n
+    assert q2 > 0.9
