@@ -5,6 +5,7 @@ from .sharding import (
     fit_gp_multichip,
     make_mesh,
     multistart_neg_rlf_minimize,
+    reduced_likelihood_rowsharded,
     replicated,
     shard_rows,
     shard_starts,
@@ -16,6 +17,7 @@ __all__ = [
     "shard_rows",
     "make_mesh",
     "multistart_neg_rlf_minimize",
+    "reduced_likelihood_rowsharded",
     "replicated",
     "shard_starts",
 ]

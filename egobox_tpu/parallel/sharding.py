@@ -88,6 +88,78 @@ def corr_cross_multichip(mesh: Mesh, name: str, x1, x2, theta,
     return corr_cross(name, x1, x2, theta, weights)
 
 
+@partial(jax.jit, static_argnames=("corr", "trend"))
+def _rlf_value(x_norm, y_norm, y_std, theta, nugget, mask, *, corr, trend):
+    rlf, _ = reduced_likelihood(
+        corr, trend, x_norm, y_norm, y_std, theta, None, nugget, mask
+    )
+    return rlf
+
+
+def reduced_likelihood_rowsharded(
+    mesh: Mesh,
+    x: jnp.ndarray,  # (n, nx)
+    y: jnp.ndarray,  # (n,) or (n, 1)
+    theta: jnp.ndarray,
+    *,
+    corr: str = "squared_exponential",
+    trend: str = "constant",
+    nugget: Optional[float] = None,
+):
+    """Exact reduced likelihood with the training rows sharded over the
+    mesh: the O(n^2 d) Gram assembly and the quadratic forms distribute
+    across devices (XLA GSPMD partitions the kernel matmuls along the
+    sharded row axis); the Cholesky factorization itself is gathered by
+    the compiler (n^3/3 on one device). This removes the Gram-build
+    bottleneck for n >= 50k; a block-cyclic distributed factorization is
+    the remaining scale axis (ROADMAP).
+
+    n is padded up to a multiple of the mesh size with masked rows — the
+    masked likelihood is exact (gp/likelihood.py), so padding does not
+    change the value. Replaces the reference's rayon pdist fan-out
+    (doe/src/utils.rs) + sequential per-process likelihood
+    (gp/src/algorithm.rs:988-1056).
+    """
+    x = jnp.atleast_2d(x)
+    dtype = x.dtype
+    y = jnp.asarray(y, dtype=dtype)
+    if y.ndim == 1:
+        y = y[:, None]
+    n = x.shape[0]
+    n_dev = mesh.devices.size
+    n_pad = -(-n // n_dev) * n_dev
+    mask = jnp.arange(n_pad) < n
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        y = jnp.pad(y, ((0, n_pad - n), (0, 0)))
+
+    if nugget is None:
+        nugget = 100.0 * float(jnp.finfo(dtype).eps)
+
+    m = mask.astype(dtype)
+    n_obs = jnp.sum(m)
+    x_mean = jnp.sum(x * m[:, None], axis=0) / n_obs
+    x_var = jnp.sum((x - x_mean) ** 2 * m[:, None], axis=0) / jnp.maximum(
+        n_obs - 1, 1
+    )
+    x_std = jnp.where(x_var <= 0, 1.0, jnp.sqrt(x_var))
+    y_mean = jnp.sum(y * m[:, None], axis=0) / n_obs
+    y_var = jnp.sum((y - y_mean) ** 2 * m[:, None], axis=0) / jnp.maximum(
+        n_obs - 1, 1
+    )
+    y_std = jnp.where(y_var <= 0, 1.0, jnp.sqrt(y_var))
+    x_norm = (x - x_mean) / x_std * m[:, None]
+    y_norm = (y - y_mean) / y_std * m[:, None]
+
+    x_norm = shard_rows(mesh, x_norm)
+    y_norm = shard_rows(mesh, y_norm)
+    mask = shard_rows(mesh, mask)
+    theta = replicated(mesh, theta)
+    return _rlf_value(
+        x_norm, y_norm, y_std, theta, nugget, mask, corr=corr, trend=trend
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("corr", "trend", "max_iters"),
