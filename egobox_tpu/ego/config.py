@@ -3,10 +3,18 @@ python/src/egor.rs:156-231 for the Python-facing defaults)."""
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
 import numpy as np
+
+
+def _default_bucket() -> int:
+    """Pad-to-bucket quantum for the growing DoE (EGOBOX_SHAPE_BUCKET).
+    Larger buckets trade a little padded compute for fewer XLA
+    recompilations — the test suite sets 32 on the 1-CPU host."""
+    return int(os.environ.get("EGOBOX_SHAPE_BUCKET", "8"))
 
 from ..types import (
     ConstraintStrategy,
@@ -99,7 +107,7 @@ class EgorConfig:
     #: here is joint tuning. Set True for reference-exact behavior.
     coego_partial_theta_tuning: bool = False
     #: pad DoE sizes up to multiples of this so XLA re-uses compilations
-    shape_bucket: int = 8
+    shape_bucket: int = field(default_factory=_default_bucket)
 
     def resolved_cstr_tol(self, n_fcstr: int = 0) -> np.ndarray:
         n = self.n_cstr + n_fcstr

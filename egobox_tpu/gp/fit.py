@@ -29,7 +29,11 @@ from ..doe.lhs import maximin_lhs
 from ..optim.lbfgsb import minimize_lbfgsb
 from .gp import GpModel
 from .kpls import pls_rotations
-from .likelihood import make_neg_reduced_likelihood, reduced_likelihood
+from .likelihood import (
+    make_neg_reduced_likelihood,
+    make_neg_rlf_residual_api,
+    reduced_likelihood,
+)
 
 #: COBYLA eval clamp in the reference (algorithm.rs:33-37); used here as the
 #: L-BFGS iteration budget
@@ -94,15 +98,6 @@ def fit_gp_core(
     if kpls_dim is not None:
         w_star = pls_rotations(x * m[:, None], y * m[:, None], kpls_dim)
 
-    # objective with analytic adjoint (no autodiff through Cholesky —
-    # see make_neg_reduced_likelihood)
-    neg_rlf_theta = make_neg_reduced_likelihood(
-        corr, trend, x_norm, y_norm, y_std, w_star, nugget, mask
-    )
-
-    def neg_rlf(t_log10):
-        return neg_rlf_theta(10.0**t_log10)
-
     if fixed:
         theta_opt = theta0
     else:
@@ -121,11 +116,25 @@ def fit_gp_core(
         else:
             inits = t0[None, :]
 
-        res = jax.vmap(
-            lambda t: minimize_lbfgsb(
-                neg_rlf, t, lo, up, max_iters=max_iters
-            )
-        )(inits)
+        # objective with analytic adjoint (no autodiff through Cholesky).
+        # NOTE: a residual-reuse variant (make_neg_rlf_residual_api) that
+        # carries the accepted trial's factorization through the L-BFGS
+        # loop was measured SLOWER on v5e at n=10k (loop-carry copies of
+        # the (n, n) buffer outweigh the saved forward) — the fused
+        # value_and_grad below lets XLA CSE the Gram between fwd and bwd
+        # instead.
+        neg_rlf_theta = make_neg_reduced_likelihood(
+            corr, trend, x_norm, y_norm, y_std, w_star, nugget, mask
+        )
+
+        def neg_rlf(t_log10):
+            return neg_rlf_theta(10.0**t_log10)
+
+        solve = lambda t: minimize_lbfgsb(  # noqa: E731
+            neg_rlf, t, lo, up, max_iters=max_iters
+        )
+
+        res = jax.vmap(solve)(inits)
         best = jnp.argmin(res.fun)
         theta_opt = 10.0 ** res.x[best]
 

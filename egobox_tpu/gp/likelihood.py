@@ -134,6 +134,83 @@ def reduced_likelihood(
     return rlf, inner
 
 
+def _sqexp_dphi(c, x_norm, theta, w_star):
+    """Closed-form trace contraction for the squared-exponential kernel:
+    phi(theta) = sum C o log r = -1/2 sum_k c_k(theta) S_k with
+    S_k = sum_ij C_ij (x_ik - x_jk)^2, expanded into three matmul-shaped
+    reductions (no n^2 d broadcast tensor, no autodiff): ~(d+2) n^2 flops
+    vs the generic log-kernel vjp's full re-broadcast."""
+    u = jnp.sum(c, axis=1)  # C 1
+    v = jnp.sum(c, axis=0)  # 1^T C
+    x2 = x_norm * x_norm
+    w = jnp.matmul(c, x_norm, precision=jax.lax.Precision.HIGHEST)
+    s = u @ x2 + v @ x2 - 2.0 * jnp.sum(x_norm * w, axis=0)  # (nx,)
+    if w_star is None:
+        return -theta * s
+    # c_k = sum_l theta_l^2 w_kl^2  ->  dphi/dtheta_l = -theta_l sum_k w_kl^2 S_k
+    return -theta * ((w_star**2).T @ s)
+
+
+def _grad_trace_core(corr, x_norm, w_star, nugget, mask, theta, l_chol,
+                     gamma, sigma2_norm):
+    """Shared gradient body: d(-rlf/ln10-adjusted)/dtheta from the
+    factorization residuals (theta, L, gamma, sigma2). Used by the
+    custom-VJP bwd and by the residual-reuse L-BFGS path
+    (optim/lbfgsb.py fun_and_res)."""
+    import os
+
+    n = x_norm.shape[0]
+    # measured on v5e n=10k inside the full fused fit program (min-of-3):
+    #   panels+contract 1313ms | panels+autodiff 1445 | dc+autodiff 1528 |
+    #   dc+contract 1686  -> panel solves + closed-form contraction win in
+    # context even though the D&C GEMM inverse is 2x faster STANDALONE
+    # (XLA schedules/fuses the panel solves better inside value_and_grad).
+    inv_impl = os.environ.get("EGOBOX_GRAD_INV", "panels")
+    phi_impl = os.environ.get("EGOBOX_GRAD_PHI", "contract")
+
+    if inv_impl == "panels":
+        # L^-1 in column blocks: one giant (n, n)-RHS triangular solve
+        # makes XLA materialize every update panel (OOM at n=10k);
+        # 2048-column panels keep live memory at ~n*block while the MXU
+        # matmul assembles R^-1 = L^-T L^-1 afterwards.
+        block = min(2048, n)
+        nb = -(-n // block)
+        cols = jnp.arange(n)
+
+        def solve_block(j):
+            e = (cols[:, None] == (j * block + jnp.arange(block))[None, :])
+            return solve_triangular(l_chol, e.astype(x_norm.dtype),
+                                    lower=True)
+
+        li_blocks = jax.lax.map(solve_block, jnp.arange(nb))
+        li = jnp.moveaxis(li_blocks, 0, 1).reshape(n, nb * block)[:, :n]
+    else:
+        from ..ops.block_linalg import tri_inverse_lower
+
+        # divide-and-conquer GEMM inverse (block_linalg.py)
+        li = tri_inverse_lower(l_chol, precision=jax.lax.Precision.HIGH)
+    # R^-1 = L^-T L^-1. This n^3 matmul only feeds the GRADIENT's trace
+    # contraction — bf16 single-pass accuracy (~1e-3 relative) is ample
+    # for a quasi-Newton direction.
+    r_inv = jnp.matmul(li.T, li, precision=jax.lax.Precision.DEFAULT)
+    r = _build_r(corr, x_norm, theta, w_star, nugget, mask)
+    c = (r_inv - (gamma @ gamma.T)
+         / jnp.maximum(sigma2_norm, 1e-300)) * r
+    if mask is not None:
+        m = mask.astype(x_norm.dtype)
+        c = c * (m[:, None] * m[None, :])
+
+    if corr == "squared_exponential" and phi_impl == "contract":
+        return _sqexp_dphi(c, x_norm, theta, w_star)
+
+    def phi(th):
+        return jnp.sum(
+            c * log_corr_cross(corr, x_norm, x_norm, th, w_star)
+        )
+
+    return jax.grad(phi)(theta)
+
+
 def make_neg_reduced_likelihood(
     corr: str,
     trend: str,
@@ -161,14 +238,6 @@ def make_neg_reduced_likelihood(
     COBYLA objective (gp/src/algorithm.rs:879-897) upgraded with exact
     gradients.
     """
-    dtype = x_norm.dtype
-    n = x_norm.shape[0]
-    if mask is not None:
-        m = mask.astype(dtype)
-        m2 = m[:, None] * m[None, :]
-    else:
-        m2 = None
-
     @jax.custom_vjp
     def neg_rlf(theta):
         rlf, _ = reduced_likelihood(
@@ -185,42 +254,58 @@ def make_neg_reduced_likelihood(
 
     def bwd(res, g):
         theta, l_chol, gamma, sigma2_norm = res
-        # L^-1 in column blocks: one giant (n, n)-RHS triangular solve makes
-        # XLA materialize every update panel (OOM at n=10k); 512-column
-        # panels keep live memory at ~n*block while the MXU matmul
-        # assembles R^-1 = L^-T L^-1 afterwards.
-        block = min(2048, n)
-        nb = -(-n // block)
-        cols = jnp.arange(n)
-
-        def solve_block(j):
-            e = (cols[:, None] == (j * block + jnp.arange(block))[None, :])
-            return solve_triangular(
-                l_chol, e.astype(dtype), lower=True
-            )  # (n, block)
-
-        li_blocks = jax.lax.map(solve_block, jnp.arange(nb))  # (nb, n, blk)
-        li = jnp.moveaxis(li_blocks, 0, 1).reshape(n, nb * block)[:, :n]
-        # R^-1 = L^-T L^-1. This n^3 matmul only feeds the GRADIENT's trace
-        # contraction — bf16 single-pass accuracy (~1e-3 relative) is ample
-        # for a quasi-Newton direction, so skip the multi-pass f32 cost the
-        # global matmul-precision default would impose.
-        r_inv = jnp.matmul(li.T, li, precision=jax.lax.Precision.DEFAULT)
-        r = _build_r(corr, x_norm, theta, w_star, nugget, mask)
-        c = (r_inv - (gamma @ gamma.T)
-             / jnp.maximum(sigma2_norm, 1e-300)) * r
-        if m2 is not None:
-            c = c * m2
-
-        def phi(th):
-            return jnp.sum(
-                c * log_corr_cross(corr, x_norm, x_norm, th, w_star)
-            )
-
-        dphi = jax.grad(phi)(theta)
+        dphi = _grad_trace_core(
+            corr, x_norm, w_star, nugget, mask, theta, l_chol, gamma,
+            sigma2_norm,
+        )
         grad = g * dphi / _LN10
         grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
         return (grad,)
 
     neg_rlf.defvjp(fwd, bwd)
     return neg_rlf
+
+
+def make_neg_rlf_residual_api(
+    corr: str,
+    trend: str,
+    x_norm: jnp.ndarray,
+    y_norm: jnp.ndarray,
+    y_std: jnp.ndarray,
+    w_star: Optional[jnp.ndarray],
+    nugget: float,
+    mask: Optional[jnp.ndarray] = None,
+):
+    """Residual-reuse objective for the L-BFGS (optim/lbfgsb.py):
+
+    - ``fun_and_res(t_log10) -> (f, (theta, L, gamma, sigma2))`` — the
+      plain forward, KEEPING the Cholesky factorization;
+    - ``grad_from_res(t_log10, res) -> g`` — the analytic adjoint straight
+      from those residuals, with NO forward recomputation.
+
+    The line search evaluates trials with ``fun_and_res``; the accepted
+    trial's factorization then feeds the gradient directly — saving one
+    full Gram+Cholesky per L-BFGS iteration vs value_and_grad
+    (ref hot loop being replaced: gp/src/algorithm.rs:879-948, which pays
+    a full likelihood per COBYLA probe)."""
+
+    def fun_and_res(t_log10):
+        theta = 10.0**t_log10
+        rlf, inner = reduced_likelihood(
+            corr, trend, x_norm, y_norm, y_std, theta, w_star, nugget, mask
+        )
+        sigma2_norm = inner.sigma2 / (y_std.reshape(()) ** 2)
+        return -rlf, (theta, inner.r_chol, inner.gamma, sigma2_norm)
+
+    def grad_from_res(t_log10, res):
+        theta, l_chol, gamma, sigma2_norm = res
+        dphi = _grad_trace_core(
+            corr, x_norm, w_star, nugget, mask, theta, l_chol, gamma,
+            sigma2_norm,
+        )
+        # d(-rlf)/dtheta = dphi/ln10; through theta = 10^t the ln10 cancels:
+        # d(-rlf)/dt = dphi * theta
+        grad = dphi * theta
+        return jnp.where(jnp.isfinite(grad), grad, 0.0)
+
+    return fun_and_res, grad_from_res

@@ -89,14 +89,39 @@ from functools import partial
 from ..gp.fit import GP_DEFAULT_THETA_BOUNDS, fit_gp_core
 
 
+def _fit_bucket() -> int:
+    import os
+
+    return int(os.environ.get("EGOBOX_SHAPE_BUCKET", "8"))
+
+
+def _pad_xy(x: np.ndarray, y: np.ndarray):
+    """Pad (x, y) rows up to the shape bucket with masked rows so the
+    expert fits of a GROWING design reuse XLA compilations (the masked
+    likelihood is exact; same pad-to-bucket scheme as the EGO solver).
+    Returns (x_pad, y_pad, valid_mask)."""
+    n = x.shape[0]
+    b = _fit_bucket()
+    nb = max(b, -(-n // b) * b)
+    valid = np.zeros(nb, dtype=bool)
+    valid[:n] = True
+    if nb == n:
+        return x, y, valid
+    xp = np.zeros((nb, x.shape[1]), dtype=x.dtype)
+    xp[:n] = x
+    yp = np.zeros(nb, dtype=y.dtype)
+    yp[:n] = y
+    return xp, yp, valid
+
+
 @partial(
     jax.jit,
     static_argnames=("corr", "trend", "kpls_dim", "n_start", "max_iters"),
 )
-def _cv_folds_error(x, y, masks, theta0, lo, up, key, *, corr, trend,
+def _cv_folds_error(x, y, masks, valid, theta0, lo, up, key, *, corr, trend,
                     kpls_dim, n_start, max_iters):
     """All k fold-fits advance as ONE vmapped masked-fit batch; the
-    held-out error is computed with the complementary mask."""
+    held-out error is computed on the real (valid) complementary rows."""
     active = jnp.ones_like(theta0, dtype=bool)
 
     def one_fold(mask):
@@ -106,7 +131,7 @@ def _cv_folds_error(x, y, masks, theta0, lo, up, key, *, corr, trend,
             max_iters=max_iters, nugget=100.0 * jnp.finfo(x.dtype).eps,
         )
         pred = gp_predict(model, x)  # (n,)
-        test = ~mask
+        test = (~mask) & valid
         w = test.astype(x.dtype)
         return jnp.sum((pred - y) ** 2 * w) / jnp.maximum(jnp.sum(w), 1.0)
 
@@ -124,7 +149,9 @@ def _cv_error(x: np.ndarray, y: np.ndarray, corr: str, trend: str,
     idx = np.arange(n)
     rng = np.random.default_rng(seed)
     rng.shuffle(idx)
-    masks = np.ones((n_folds, n), dtype=bool)
+    xp, yp, valid = _pad_xy(x, y)
+    masks = np.zeros((n_folds, xp.shape[0]), dtype=bool)
+    masks[:, :n] = True
     for f in range(n_folds):
         masks[f, idx[f::n_folds]] = False
 
@@ -135,8 +162,8 @@ def _cv_error(x: np.ndarray, y: np.ndarray, corr: str, trend: str,
     up = jnp.full((dim,), GP_DEFAULT_THETA_BOUNDS[1], dtype)
     try:
         errs = _cv_folds_error(
-            jnp.asarray(x), jnp.asarray(y), jnp.asarray(masks),
-            theta0, lo, up, jax.random.key(seed),
+            jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(masks),
+            jnp.asarray(valid), theta0, lo, up, jax.random.key(seed),
             corr=corr, trend=trend, kpls_dim=kpls_dim,
             n_start=min(n_start, 5), max_iters=20,
         )
@@ -239,10 +266,12 @@ def find_best_expert(
         }
         trend, corr = min(errors, key=errors.get)
 
+    xp, yp, valid = _pad_xy(x, y)
     return fit_gp(
-        jnp.asarray(x), jnp.asarray(y), corr=corr, trend=trend,
+        jnp.asarray(xp), jnp.asarray(yp), corr=corr, trend=trend,
         kpls_dim=kpls_dim, n_start=n_start, seed=seed,
         theta_init=theta_init, theta_bounds=theta_bounds,
+        mask=jnp.asarray(valid),
     )
 
 
@@ -477,10 +506,12 @@ def train_moe_on_clusters(
         p = fixed_params[c] if fixed_params is not None else None
         if p is not None:
             trend, corr, theta = p
+            xp, yp, valid = _pad_xy(xc, yc)
             return fit_gp(
-                jnp.asarray(xc), jnp.asarray(yc), corr=corr, trend=trend,
+                jnp.asarray(xp), jnp.asarray(yp), corr=corr, trend=trend,
                 kpls_dim=kpls_dim, theta_init=jnp.asarray(theta),
                 theta_fixed=True, seed=seed, theta_bounds=theta_bounds,
+                mask=jnp.asarray(valid),
             )
         return find_best_expert(
             xc, yc, regr_names, corr_names, kpls_dim, n_start, seed,

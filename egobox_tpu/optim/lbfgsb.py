@@ -45,21 +45,38 @@ def minimize_lbfgsb(
     max_ls: int = 20,
     gtol: float = 1e-8,
     xtol: float = 1e-12,
+    fun_and_res: Callable = None,
+    grad_from_res: Callable = None,
 ) -> LbfgsbResult:
     """Minimize ``fun`` (scalar) over the box [lower, upper].
 
     All arguments after ``fun`` are arrays of shape (d,); the whole solver is
     a single lax.while_loop so it can be vmapped over multistarts.
+
+    ``fun_and_res``/``grad_from_res`` enable factorization reuse for
+    objectives with an expensive shared forward (the GP likelihood keeps
+    its Cholesky): line-search trials call ``fun_and_res(x) -> (f, res)``
+    and the accepted trial's residuals feed ``grad_from_res(x, res) -> g``
+    directly, saving one full forward per iteration vs value_and_grad.
+    The residual pytree rides the solver's while_loop carry (static
+    shapes).
     """
     d = x0.shape[0]
     dtype = x0.dtype
-    vg = jax.value_and_grad(fun)
 
     def clip(x):
         return jnp.clip(x, lower, upper)
 
     x0 = clip(x0)
-    f0, g0 = vg(x0)
+    if fun_and_res is None:
+        vg = jax.value_and_grad(fun)
+        fun_and_res = lambda x: (fun(x), ())  # noqa: E731
+        grad_from_res = lambda x, res: vg(x)[1]  # noqa: E731
+        f0, g0 = vg(x0)  # one fused eval at init
+        res0 = ()
+    else:
+        f0, res0 = fun_and_res(x0)
+        g0 = grad_from_res(x0, res0)
     f0 = _sanitize(f0)
     g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
 
@@ -106,46 +123,54 @@ def minimize_lbfgsb(
         r, _ = lax.scan(bwd, r, (order[::-1], alphas[::-1]))
         return r
 
-    def line_search(x, f, g, direction):
+    def line_search(x, f, res, g, direction):
         """Armijo backtracking along the projected path x(a)=clip(x+a*d).
 
         Value-only trials: the gradient (which may carry an expensive
         analytic adjoint, e.g. the GP likelihood's O(n^3) trace term) is
-        evaluated ONCE at the accepted point, not per trial."""
+        evaluated ONCE at the accepted point, not per trial — and when the
+        objective provides residuals, the accepted trial's factorization
+        is reused so the forward is not recomputed either."""
         c1 = 1e-4
 
         def body(carry):
-            alpha, _, _, it = carry
+            alpha, _, _, _, it = carry
             x_new = clip(x + alpha * direction)
-            f_new = _sanitize(fun(x_new))
+            f_raw, res_new = fun_and_res(x_new)
+            f_new = _sanitize(f_raw)
             dx = x_new - x
             ok = f_new <= f + c1 * jnp.dot(g, dx)
             # degenerate step (projection killed the move) also terminates
             stuck = jnp.max(jnp.abs(dx)) <= xtol
-            return (alpha * 0.5, x_new, f_new,
+            return (alpha * 0.5, x_new, f_new, res_new,
                     jnp.where(ok | stuck, max_ls + 1, it + 1))
 
         def cond(carry):
-            _, _, _, it = carry
-            return it < max_ls
+            return carry[4] < max_ls
 
-        init = (jnp.asarray(1.0, dtype), x, f, jnp.asarray(0, jnp.int32))
-        _, x_new, f_new, _ = lax.while_loop(cond, body, init)
+        init = (jnp.asarray(1.0, dtype), x, f, res,
+                jnp.asarray(0, jnp.int32))
+        _, x_new, f_new, res_new, _ = lax.while_loop(cond, body, init)
         improved = f_new < f
         x_new = jnp.where(improved, x_new, x)
         f_new = jnp.where(improved, f_new, f)
-        _, g_new = vg(x_new)
+        res_new = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(improved, a, b), res_new, res
+        )
+        g_new = grad_from_res(x_new, res_new)
         g_new = jnp.where(improved, g_new, g)
-        return x_new, f_new, g_new, improved
+        return x_new, f_new, res_new, g_new, improved
 
     def step(state):
-        (x, f, g, s_hist, y_hist, rho, valid, head, it, _) = state
+        (x, f, res, g, s_hist, y_hist, rho, valid, head, it, _) = state
         direction = -two_loop(g, s_hist, y_hist, rho, valid, head)
         # fall back to steepest descent if the direction is not a descent one
         descent = jnp.dot(direction, g) < 0
         direction = jnp.where(descent, direction, -g)
 
-        x_new, f_new, g_new, improved = line_search(x, f, g, direction)
+        x_new, f_new, res_new, g_new, improved = line_search(
+            x, f, res, g, direction
+        )
         g_new = jnp.where(jnp.isfinite(g_new), g_new, 0.0)
 
         s = x_new - x
@@ -161,19 +186,19 @@ def minimize_lbfgsb(
         head = jnp.where(good_pair, (head + 1) % history, head)
 
         done = (~improved) | (proj_grad_norm(x_new, g_new) <= gtol)
-        return (x_new, f_new, g_new, s_hist, y_hist, rho, valid, head,
-                it + 1, done)
+        return (x_new, f_new, res_new, g_new, s_hist, y_hist, rho, valid,
+                head, it + 1, done)
 
     def cond(state):
-        it, done = state[8], state[9]
+        it, done = state[9], state[10]
         return (it < max_iters) & (~done)
 
-    init = (x0, f0, g0, s_hist, y_hist, rho, valid,
+    init = (x0, f0, res0, g0, s_hist, y_hist, rho, valid,
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
             jnp.asarray(False))
     final = lax.while_loop(cond, step, init)
-    x, f, _, *_rest = final
-    it, done = final[8], final[9]
+    x, f = final[0], final[1]
+    it, done = final[9], final[10]
     return LbfgsbResult(x=x, fun=f, n_iters=it, converged=done)
 
 

@@ -8,6 +8,11 @@ jax config programmatically before any backend initializes.
 
 import os
 
+# larger pad-to-bucket quantum on the 1-CPU test host: fewer XLA
+# recompilations as the EGO DoE / MoE cluster sizes grow (padded compute is
+# negligible at test problem sizes; the masked fits are exact)
+os.environ.setdefault("EGOBOX_SHAPE_BUCKET", "32")
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -47,6 +47,7 @@ def six_humps(x):
     return np.atleast_2d(y).T
 
 
+@pytest.mark.slow
 def test_xsinx():
     """y=-15.125±1e-3 @ x=18.935±1e-3 in 20 iters (test_egor.py:127-133)."""
     egor = Egor([[0.0, 25.0]], seed=42)
@@ -55,6 +56,7 @@ def test_xsinx():
     assert abs(res.x_opt[0] - 18.935) < 1e-3
 
 
+@pytest.mark.slow
 def test_sphere_ei():
     """(test_egor.py test_sphere, reduced iteration budget)"""
     dim = 3
@@ -68,6 +70,7 @@ def test_sphere_ei():
     np.testing.assert_allclose(res.x_opt, 0.0, atol=7e-1)
 
 
+@pytest.mark.slow
 def test_g24_utb():
     """y=-5.5080±1e-2 @ (2.3295, 3.1785)±1e-2 (test_egor.py:172-194)."""
     n_doe, max_iters, n_cstr = 5, 30, 2
@@ -88,6 +91,7 @@ def test_g24_utb():
     assert res.y_doe.shape == (n_doe + max_iters, 1 + n_cstr)
 
 
+@pytest.mark.slow
 def test_g24_trego():
     """TREGO variant (test_egor.py:216-237)."""
     egor = Egor(
@@ -102,6 +106,7 @@ def test_g24_trego():
     assert abs(res.y_opt[0] - (-5.5080)) < 1e-2
 
 
+@pytest.mark.slow
 def test_six_humps_wb2():
     """y=-1.0316±2e-1 in 45 iters (test_egor.py:239-250)."""
     egor = Egor(
@@ -144,6 +149,7 @@ def test_egor_service_suggest_wb2_smoke():
     assert 0.0 <= x[0, 0] <= 25.0
 
 
+@pytest.mark.slow
 def test_warm_start(tmp_path):
     """Warm start reloads the evaluated DoE (test_egor.py:142-170)."""
     outdir = str(tmp_path)
@@ -184,6 +190,7 @@ def test_constructor():
     Egor([[0.0, 25.0]], n_doe=10)
 
 
+@pytest.mark.slow
 def test_kpls_config_runs():
     """KPLS-1 surrogate inside Egor (test_egor.py test_g24_kpls, relaxed)."""
     egor = Egor(
@@ -198,6 +205,7 @@ def test_kpls_config_runs():
     assert res.y_opt[0] < -4.0  # reference delta is 5e-1 at 30 iters
 
 
+@pytest.mark.slow
 def test_xsinx_with_reclustering():
     """Auto-clustered (MoE) surrogate path with periodic reclustering
     (test_egor.py test_xsinx_with_reclustering, GpConfig(n_clusters=0))."""
@@ -206,6 +214,7 @@ def test_xsinx_with_reclustering():
     assert abs(res.y_opt[0] - (-15.125)) < 1e-2
 
 
+@pytest.mark.slow
 def test_coego_sphere():
     """CoEGO cooperative partial optimization, d=12 smoke test
     (ref: solver/coego.rs)."""
@@ -222,6 +231,7 @@ def test_coego_sphere():
     assert res.y_opt[0] < 0.6 * doe_best  # clear improvement over the DoE
 
 
+@pytest.mark.slow
 def test_coego_reference_exact_modes(monkeypatch):
     """The reference-parity CoEGO switches: per-group partial theta tuning
     (coego.rs:98-126) and the trust-bound challenger check
@@ -242,6 +252,7 @@ def test_coego_reference_exact_modes(monkeypatch):
     assert res.y_opt[0] < doe_best  # improves over the DoE
 
 
+@pytest.mark.slow
 def test_coego_high_dim_beats_plain_ego():
     """CoEGO's actual regime: nx > 100 (the reference gates it at nx>100,
     egor_config.rs:459-463). At equal budget on sphere d=120 the partial
@@ -265,6 +276,7 @@ def test_coego_high_dim_beats_plain_ego():
     assert res_coego.y_opt[0] < res_plain.y_opt[0]
 
 
+@pytest.mark.slow
 def test_qei_multipoint():
     """q_points=2 with Kriging-believer lower bound proposes 2 points per
     iteration (ref: QEiStrategy, solver_computations.rs:261-292)."""
@@ -275,6 +287,7 @@ def test_qei_multipoint():
     assert abs(res.y_opt[0] - (-15.125)) < 1e-2
 
 
+@pytest.mark.slow
 def test_g24_cstr_infill_logcei():
     """Constraints folded into the criterion as log-PoF (logCEI,
     ref: solver_computations.rs:398-475)."""
@@ -319,6 +332,7 @@ def test_nan_objective_robustness():
     assert not np.isnan(res.y_doe).any()
 
 
+@pytest.mark.slow
 def test_infill_optimizer_slsqp_g24():
     """InfillOptimizer.SLSQP (smoothed-L1 exact-penalty L-BFGS) must hit
     the G24 golden like the default COBYLA-role AL optimizer, while taking

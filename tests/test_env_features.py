@@ -59,6 +59,7 @@ def test_portfolio_env(monkeypatch):
     assert res.y_opt[0] < -14.0
 
 
+@pytest.mark.slow
 def test_middlepicker_killswitch(monkeypatch):
     monkeypatch.setenv("EGOR_DO_NOT_USE_MIDDLEPICKER_MULTISTARTER", "1")
     egor = Egor([[0.0, 25.0]], seed=42)
@@ -66,6 +67,7 @@ def test_middlepicker_killswitch(monkeypatch):
     assert res.y_opt[0] < -14.0
 
 
+@pytest.mark.slow
 def test_feasibility_first(monkeypatch):
     """With no feasible point, the infill maximizes PoF first
     (EGOR_USE_MAX_PROBA_OF_FEASIBILITY)."""

@@ -1,6 +1,7 @@
 """gpqa CLI test (ref: crates/gpqa/src/main.rs — offline GP QA)."""
 
 import numpy as np
+import pytest
 
 import egobox_tpu as egx
 from egobox_tpu.gpqa import main
@@ -34,6 +35,7 @@ def test_gpqa_cli_missing_file(capsys):
     assert rc == 1
 
 
+@pytest.mark.slow
 def test_loo_q2_vmapped_single_compile():
     """LOO Q2 must run as ONE vmapped masked-fit program (one compile + one
     execute), not n sequential refits (n=100 here to spare the 1-CPU test

@@ -1,6 +1,7 @@
 """Mixed-integer Egor tests (ref: python/egobox/tests/test_mixintegor.py)."""
 
 import numpy as np
+import pytest
 
 import egobox_tpu as egx
 from egobox_tpu.ego import Egor, MixintContext
@@ -72,6 +73,7 @@ def test_int_xsinx():
     assert abs(res.x_opt[0] - 19) <= 1
 
 
+@pytest.mark.slow
 def test_ord_enum_mixobj():
     """Mixed ORD/ENUM problem (test_mixintegor.py:52-65). The reference
     golden is y=-14.25 at (-5, green, enum1, 0), but the true lattice

@@ -67,6 +67,7 @@ def test_moe_single_cluster_matches_gp():
     np.testing.assert_allclose(pred, y, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_moe_two_clusters_beats_one_on_discontinuity():
     x, y = _two_regime(60)
     xq = np.linspace(0.05, 0.95, 40)[:, None]
@@ -94,6 +95,7 @@ def test_moe_hard_vs_smooth():
     assert np.all(var >= 0)
 
 
+@pytest.mark.slow
 def test_moe_gradients_vs_fdiff():
     x, y = _two_regime(40)
     mix = train_moe(x, y, n_clusters=2, n_start=3)
@@ -114,6 +116,7 @@ def test_moe_gradients_vs_fdiff():
     assert abs(g - fd) < 1e-4 * max(1.0, abs(fd))
 
 
+@pytest.mark.slow
 def test_moe_auto_clusters():
     x, y = _two_regime(60)
     mix = train_moe(x, y, n_clusters=0, n_start=3)
@@ -122,6 +125,7 @@ def test_moe_auto_clusters():
     assert np.sqrt(np.mean((pred - y) ** 2)) < 2.0
 
 
+@pytest.mark.slow
 def test_moe_sample_mono_cluster():
     x, y = _two_regime(20)
     mix = train_moe(x, y, n_clusters=1, n_start=3)
@@ -142,6 +146,7 @@ def test_q2_metric():
     assert q2 > 0.98
 
 
+@pytest.mark.slow
 def test_moe_sparse_experts():
     """Sparse-GP experts inside the mixture (ref: GpType::SparseGp,
     moe/src/parameters.rs:98-108 + declare_sgp_surrogate registry)."""

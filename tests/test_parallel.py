@@ -44,6 +44,7 @@ def test_fit_gp_multichip_matches_quality(mesh):
     np.testing.assert_allclose(pred, np.asarray(y), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     """The driver's multichip dry-run must compile and execute."""
     import importlib.util
@@ -87,6 +88,7 @@ def test_corr_cross_multichip(mesh):
     assert not g_sh.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_rowsharded_likelihood_matches_single_device(mesh):
     """Row-sharded exact likelihood == single-device value at n=4096
     (the Gram assembly distributes over the mesh; VERDICT r1 item 8)."""

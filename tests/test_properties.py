@@ -2,6 +2,7 @@
 per ROADMAP robustness items."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from egobox_tpu.ego.mixint import MixintContext
@@ -73,6 +74,7 @@ def test_mixint_cast_idempotent(specs, seed):
 
 @given(st.integers(2, 30), st.integers(1, 4), st.integers(0, 2**31 - 1))
 @settings(max_examples=20, deadline=None)
+@pytest.mark.slow
 def test_lhs_latin_invariant(ns, nx, seed):
     """Classic LHS places exactly one point per stratum per column for any
     (ns, nx, seed)."""
