@@ -32,6 +32,71 @@ def _split_point(n: int) -> int:
     return min(max(k, 128), n - 128)
 
 
+def blocked_cholesky(
+    r: jnp.ndarray,
+    block: int = 1024,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Lower Cholesky via a left-looking block-column algorithm.
+
+    All O(n^3) work is GEMMs (MXU); per panel only a b x b factorization
+    (XLA chol) and one small-A triangular solve remain. The column pieces
+    are accumulated as separate (rows, b) arrays and concatenated once, so
+    no O(n^2) dynamic-update-slice copies occur per panel.
+
+        for k:  S   = A[k:, kb:(k+1)b] - L[k:, :kb] @ L[k, :kb]^T
+                Lkk = chol(S[:b]);  L[k+1:, k] = S[b:] @ Lkk^-T
+
+    Replaces the reference's per-process LAPACK potrf on the n=10k hot path
+    (crates/gp/src/algorithm.rs:988-1056) with an MXU-shaped factorization;
+    falls back to XLA's native chol when n <= block.
+
+    Measured (v5e, n=10k f32): 50 ms at b=1024 vs 48 ms for XLA's native
+    chol — XLA's is already well blocked on TPU, so the likelihood keeps
+    the native op. The value of this form is that all O(n^3) work is
+    explicit GEMMs over block columns: with row-sharded inputs the trailing
+    updates distribute over a mesh, which the native (single-device) chol
+    cannot do — the building block for the n>=50k multi-chip factorization
+    (ROADMAP).
+    """
+    n = r.shape[0]
+    if n <= block:
+        return jnp.linalg.cholesky(r)
+    nb = -(-n // block)
+    n_pad = nb * block
+    if n_pad != n:
+        # identity-pad: chol of blkdiag(R, I) = blkdiag(L, I)
+        pad = n_pad - n
+        r = jnp.pad(r, ((0, pad), (0, pad)))
+        r = r + jnp.pad(
+            jnp.eye(pad, dtype=r.dtype), ((n, 0), (n, 0))
+        )
+    cols = []  # cols[j]: (n_pad - j*block, block) strictly the lower part
+    for k in range(nb):
+        a_col = r[k * block:, k * block:(k + 1) * block]
+        if k:
+            # accumulated left-looking update: rows k.., previous columns
+            left = jnp.concatenate(
+                [c[(k - j) * block:] for j, c in enumerate(cols)], axis=1
+            )  # (n_pad - kb, kb)
+            top = jnp.concatenate(
+                [c[(k - j) * block:(k - j + 1) * block]
+                 for j, c in enumerate(cols)],
+                axis=1,
+            )  # (b, kb)
+            a_col = a_col - jnp.matmul(left, top.T, precision=precision)
+        lkk = jnp.linalg.cholesky(a_col[:block])
+        below = solve_triangular(
+            lkk, a_col[block:].T, lower=True
+        ).T  # (rows-b, b)
+        cols.append(jnp.concatenate([lkk, below], axis=0))
+    out = jnp.concatenate(
+        [jnp.pad(c, ((j * block, 0), (0, 0))) for j, c in enumerate(cols)],
+        axis=1,
+    )
+    return out[:n, :n]
+
+
 def tri_inverse_lower(
     l: jnp.ndarray,
     precision=jax.lax.Precision.HIGHEST,
