@@ -46,11 +46,12 @@ from .api import (  # noqa: E402
     lhs,
     sampling,
 )
-from .ego import Egor, GpConfig  # noqa: E402
+from .ego import Egor, EgorBatch, GpConfig  # noqa: E402
 from . import gp, moe, ego, parallel  # noqa: E402
 
 __all__ = [
     "Egor",
+    "EgorBatch",
     "GpConfig",
     "GpMix",
     "Gpx",

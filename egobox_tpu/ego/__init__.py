@@ -3,6 +3,7 @@
 TPU-native rebuild of the egobox `ego` crate (crates/ego in /root/reference).
 """
 
+from .batch import EgorBatch
 from .config import EgorConfig, GpConfig, TregoConfig
 from .criteria import ei, log_ei, log_ei_helper, log_pof, pof, wb2, wb2s_scale
 from .egor import Egor
@@ -19,6 +20,7 @@ from .surrogates import GpSpec, train_gp_surrogates
 
 __all__ = [
     "Egor",
+    "EgorBatch",
     "EgorConfig",
     "EgorSolver",
     "EgorState",

@@ -1,0 +1,295 @@
+"""EgorBatch: B independent EGO optimizations advancing in lockstep.
+
+A TPU-native capability with no reference counterpart: where egobox runs one
+optimization per process, the batch axis here vmaps the entire fused EGO
+iteration (surrogate training + scaling + multistart infill optimization,
+ego/fused_step.py) over B problems, so a portfolio of optimizations costs
+ONE program dispatch per iteration (ROADMAP "batched multi-problem Egor for
+portfolio-scale serving").
+
+Scope: the fused fast-path feature set — single-cluster GP surrogates,
+EI/LogEI/WB2/WB2S infill, surrogate constraints (MC/UTB or cstr_infill),
+q_points=1, continuous variables. Problems share nx, n_cstr, and the
+iteration budget; xlimits may differ per problem (they are traced values).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import default_dtype
+from ..doe.lhs import LhsKind, lhs_normalized
+from ..gp.kernels import theta_bounds_heuristic
+from ..types import (
+    ConstraintStrategy,
+    InfillOptimizer,
+    InfillStrategy,
+    OptimResult,
+)
+from .config import EgorConfig, GpConfig
+from .find_result import find_best_result_index
+from .fused_step import fused_select_point_batch
+from .solver import _CRIT_NAME, _CSTR_NAME, _OPT_NAME, _bucket
+from .start_points import middle_picker_starts
+from .surrogates import GpSpec
+
+
+class EgorBatch:
+    """Batched Egor over B independent problems.
+
+    ``fobj`` is either a batched callable mapping (B, nx) -> (B, 1 + n_cstr)
+    (one point per problem per call) or a list of B per-problem callables,
+    each mapping (n, nx) -> (n, 1 + n_cstr).
+    """
+
+    def __init__(
+        self,
+        fobj: Union[Callable, Sequence[Callable]],
+        xlimits: np.ndarray,  # (nx, 2) shared or (B, nx, 2)
+        n_problems: Optional[int] = None,
+        n_cstr: int = 0,
+        cstr_tol: Optional[Sequence[float]] = None,
+        n_start: int = 20,
+        n_doe: int = 0,
+        infill_strategy: InfillStrategy = InfillStrategy.LOG_EI,
+        cstr_strategy: ConstraintStrategy = ConstraintStrategy.MC,
+        cstr_infill: bool = False,
+        infill_optimizer: InfillOptimizer = InfillOptimizer.COBYLA,
+        gp_config: Optional[GpConfig] = None,
+        seed: Optional[int] = None,
+    ):
+        if callable(fobj):
+            if n_problems is None:
+                xl = np.asarray(xlimits, dtype=float)
+                if xl.ndim != 3:
+                    raise ValueError(
+                        "n_problems is required with a batched fobj and "
+                        "shared xlimits"
+                    )
+                n_problems = xl.shape[0]
+            self._fobjs = None
+            self._fobj_batched = fobj
+        else:
+            self._fobjs = list(fobj)
+            self._fobj_batched = None
+            n_problems = len(self._fobjs)
+        self.n_problems = n_problems
+
+        xl = np.asarray(xlimits, dtype=float)
+        if xl.ndim == 2:
+            xl = np.broadcast_to(xl, (n_problems,) + xl.shape).copy()
+        if xl.shape[0] != n_problems:
+            raise ValueError("xlimits batch size != n_problems")
+        self.xlimits = xl  # (B, nx, 2)
+        self.nx = xl.shape[1]
+
+        self.config = EgorConfig(
+            n_cstr=n_cstr,
+            cstr_tol=None if cstr_tol is None else np.asarray(cstr_tol),
+            n_start=n_start,
+            n_doe=n_doe,
+            infill_strategy=infill_strategy,
+            cstr_strategy=cstr_strategy,
+            cstr_infill=cstr_infill,
+            infill_optimizer=infill_optimizer,
+            gp_config=gp_config or GpConfig(),
+            seed=seed,
+        ).check()
+        gpc = self.config.gp_config
+        if gpc.n_clusters != 1 or len(gpc.regr_names) > 1 or len(
+            gpc.corr_names
+        ) > 1:
+            raise ValueError(
+                "EgorBatch supports the single-cluster GP surrogate path"
+            )
+        dim = gpc.kpls_dim if gpc.kpls_dim is not None else self.nx
+        corr = gpc.corr_names[0]
+        if gpc.theta_bounds is not None:
+            self.theta_bounds = np.asarray(gpc.theta_bounds, dtype=float)
+        elif dim >= 10:
+            lo, up = theta_bounds_heuristic(corr, dim)
+            self.theta_bounds = np.array([float(lo), float(up)])
+        else:
+            self.theta_bounds = np.array([1e-2, 1e1])
+        self._dim = dim
+        self._seed = seed if seed is not None else 0
+        self._key = jax.random.key(self._seed)
+        self._rngs = [
+            np.random.default_rng(self._seed + 1000 * b)
+            for b in range(n_problems)
+        ]
+
+    # ------------------------------------------------------------------
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _eval(self, x: np.ndarray) -> np.ndarray:
+        """x (B, nx) -> y (B, 1 + n_cstr)."""
+        if self._fobj_batched is not None:
+            y = np.asarray(self._fobj_batched(x), dtype=float)
+            return y.reshape(self.n_problems, 1 + self.config.n_cstr)
+        rows = [
+            np.asarray(f(x[b][None, :]), dtype=float).reshape(-1)
+            for b, f in enumerate(self._fobjs)
+        ]
+        return np.stack(rows)
+
+    def _eval_doe(self, x: np.ndarray) -> np.ndarray:
+        """x (B, n, nx) -> y (B, n, 1 + n_cstr)."""
+        if self._fobj_batched is not None:
+            cols = [self._eval(x[:, i]) for i in range(x.shape[1])]
+            return np.stack(cols, axis=1)
+        return np.stack([
+            np.atleast_2d(np.asarray(f(x[b]), dtype=float))
+            for b, f in enumerate(self._fobjs)
+        ])
+
+    def default_n_doe(self) -> int:
+        n = self.config.n_doe
+        return n if n > 0 else max(self.nx + 1, 5)
+
+    def _init_doe(self) -> np.ndarray:
+        n = self.default_n_doe()
+        dtype = default_dtype()
+        pts = []
+        for b in range(self.n_problems):
+            u = lhs_normalized(
+                self._next_key(), n, self.nx, LhsKind.OPTIMIZED, dtype
+            )
+            lo, hi = self.xlimits[b, :, 0], self.xlimits[b, :, 1]
+            pts.append(np.asarray(u) * (hi - lo) + lo)
+        return np.stack(pts)  # (B, n, nx)
+
+    def _pad(self, x: np.ndarray, y: np.ndarray):
+        B, n = x.shape[:2]
+        nb = _bucket(n, self.config.shape_bucket)
+        xp = np.zeros((B, nb, x.shape[2]))
+        xp[:, :n] = x
+        yp = np.zeros((B, nb, y.shape[2]))
+        yp[:, :n] = y
+        mask = np.zeros((B, nb), dtype=bool)
+        mask[:, :n] = True
+        return jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(mask)
+
+    # ------------------------------------------------------------------
+
+    def minimize(self, max_iters: int = 20) -> List[OptimResult]:
+        cfg = self.config
+        gpc = cfg.gp_config
+        B = self.n_problems
+        m = 1 + cfg.n_cstr
+        dtype = default_dtype()
+        cstr_tol = cfg.resolved_cstr_tol(0)
+
+        x_data = self._init_doe()  # (B, n, nx)
+        y_data = self._eval_doe(x_data)  # (B, n, m)
+
+        theta0s = jnp.full((B, m, self._dim), 0.1, dtype=dtype)
+        tb = jnp.asarray(self.theta_bounds, dtype)
+        if tb.ndim == 1:
+            tb = jnp.broadcast_to(tb[None, :], (self._dim, 2))
+        t_lo, t_up = tb[:, 0], tb[:, 1]
+
+        crit = _CRIT_NAME[cfg.infill_strategy]
+        cstrat = _CSTR_NAME[cfg.cstr_strategy]
+        tols = jnp.asarray(cstr_tol[: cfg.n_cstr], dtype)
+        lo_all = jnp.asarray(self.xlimits[:, :, 0], dtype)
+        hi_all = jnp.asarray(self.xlimits[:, :, 1], dtype)
+
+        for _ in range(max_iters):
+            xp, yp, mask = self._pad(x_data, y_data)
+            theta0s = jnp.clip(theta0s, t_lo[None, None], t_up[None, None])
+
+            best_idx = [
+                find_best_result_index(
+                    y_data[b], np.zeros((y_data.shape[1], 0)), cstr_tol
+                )
+                for b in range(B)
+            ]
+            fmin = jnp.asarray(
+                [y_data[b, best_idx[b], 0] for b in range(B)], dtype
+            )
+
+            starts = np.stack([
+                np.clip(
+                    middle_picker_starts(
+                        self._rngs[b], x_data[b], self.xlimits[b],
+                        cfg.n_start,
+                        lambda n, _b=b: self._lhs_in(n, self.xlimits[_b]),
+                    ),
+                    self.xlimits[b, :, 0], self.xlimits[b, :, 1],
+                )
+                for b in range(B)
+            ])
+            fit_seeds = jnp.asarray(
+                [int(r.integers(0, 2**31)) for r in self._rngs],
+                jnp.uint32,
+            )
+            fit_keys = jax.vmap(jax.random.key)(fit_seeds)
+            cloud_keys = jax.random.split(self._next_key(), B)
+
+            packed, models = fused_select_point_batch(
+                xp, yp, mask, theta0s, t_lo, t_up, fit_keys, cloud_keys,
+                jnp.asarray(starts, dtype), lo_all, hi_all, fmin, tols,
+                corr=gpc.corr_names[0], trend=gpc.regr_names[0],
+                kpls_dim=gpc.kpls_dim, gp_n_start=gpc.n_start,
+                gp_max_iters=gpc.max_eval, fixed=False,
+                nugget=GpSpec().nugget,
+                n_cloud=min(100 * self.nx, 1000), crit=crit,
+                cstr_strategy=cstrat, n_cstr=cfg.n_cstr,
+                cstr_infill=cfg.cstr_infill, feasibility=True,
+                optimizer=_OPT_NAME[cfg.infill_optimizer],
+            )
+            theta0s = models.theta  # (B, m, dim) stays on device
+            arr = np.asarray(packed)  # single host fetch per iteration
+            x_new = arr[:, : self.nx]
+
+            # de-dup: replace duplicate/non-finite proposals with a random
+            # point so every problem adds exactly one point per iteration
+            # (keeps the batch shape uniform; cf. the reference's retry
+            # loop, solver_impl.rs:505-515)
+            for b in range(B):
+                d = np.sum(np.abs(x_data[b] - x_new[b][None, :]), axis=1)
+                if not np.all(np.isfinite(x_new[b])) or np.any(
+                    d < 100.0 * np.finfo(float).eps
+                ):
+                    u = self._rngs[b].uniform(size=self.nx)
+                    x_new[b] = (
+                        self.xlimits[b, :, 0]
+                        + u * (self.xlimits[b, :, 1] - self.xlimits[b, :, 0])
+                    )
+            y_new = self._eval(x_new)
+            bad = ~np.isfinite(y_new)
+            if bad.any():
+                worst = np.nanmax(
+                    np.where(np.isfinite(y_data), y_data, -np.inf),
+                    axis=1,
+                )
+                y_new = np.where(bad, worst, y_new)
+            x_data = np.concatenate([x_data, x_new[:, None]], axis=1)
+            y_data = np.concatenate([y_data, y_new[:, None]], axis=1)
+
+        results = []
+        for b in range(B):
+            i = find_best_result_index(
+                y_data[b], np.zeros((y_data.shape[1], 0)), cstr_tol
+            )
+            results.append(OptimResult(
+                x_opt=x_data[b, i],
+                y_opt=y_data[b, i],
+                x_doe=x_data[b],
+                y_doe=y_data[b],
+            ))
+        return results
+
+    def _lhs_in(self, n: int, xlimits: np.ndarray) -> np.ndarray:
+        u = lhs_normalized(
+            self._next_key(), n, self.nx, LhsKind.MAXIMIN, default_dtype()
+        )
+        return np.asarray(u) * (xlimits[:, 1] - xlimits[:, 0]) + xlimits[:, 0]

@@ -352,6 +352,120 @@ class EgorSolver:
     # point selection (ref: select_next_points, solver_impl.rs:562-807)
     # ------------------------------------------------------------------
 
+    def _multistart_seeds(self, state: EgorState, xt: np.ndarray,
+                          xlimits: np.ndarray,
+                          seed_xlimits: Optional[np.ndarray]) -> np.ndarray:
+        """Multistart seeds: middle-picker + LHS completion for global
+        steps; pure local LHS inside a TREGO trust region
+        (ref: trego.rs LocalLhsMultiStarter). The env kill-switch matches
+        EGOR_DO_NOT_USE_MIDDLEPICKER_MULTISTARTER (ref: utils/mod.rs)."""
+        cfg = self.config
+        use_middle = not os.environ.get(
+            "EGOR_DO_NOT_USE_MIDDLEPICKER_MULTISTARTER"
+        )
+        seed_box = seed_xlimits if seed_xlimits is not None else xlimits
+        if seed_box is self.xlimits and use_middle:
+            starts = middle_picker_starts(
+                state.rng, xt, seed_box, cfg.n_start,
+                lambda n: self._lhs_in(n, seed_box),
+            )
+        else:
+            starts = self._lhs_in(cfg.n_start, seed_box)
+        return np.clip(starts, xlimits[:, 0], xlimits[:, 1])
+
+    def _fast_path_ok(self, fcstrs) -> bool:
+        """The fused single-program iteration applies on the plain
+        single-cluster GP path (ego/fused_step.py)."""
+        gpc = self.config.gp_config
+        multi_combo = (
+            len(gpc.regr_names) > 1 or len(gpc.corr_names) > 1
+        )
+        return (
+            self.config.q_points == 1
+            and not fcstrs
+            and gpc.n_clusters == 1
+            and not multi_combo
+            and self.config.coego_n_coop <= 1
+            and not os.environ.get("EGOR_USE_GP_VAR_PORTFOLIO")
+            and not os.environ.get("EGOBOX_NO_FUSED_STEP")
+        )
+
+    def _theta_setup(self, state: EgorState, m: int):
+        """Warm-start inits (clipped into bounds) + bounds, as device
+        arrays — mirrors train_gp_surrogates' preparation without any
+        host/device sync on the warm-started thetas."""
+        dim = (
+            self.spec.kpls_dim if self.spec.kpls_dim is not None else self.nx
+        )
+        theta0s = state.theta_inits
+        if theta0s is None or tuple(theta0s.shape) != (m, dim):
+            base = (
+                self.theta_init if self.theta_init is not None
+                else np.full((dim,), 0.1)
+            )
+            theta0s = jnp.broadcast_to(
+                jnp.asarray(base, default_dtype()), (m, dim)
+            )
+        else:
+            theta0s = jnp.asarray(theta0s)
+        tb = jnp.asarray(self.theta_bounds, default_dtype())
+        if tb.ndim == 1:
+            tb = jnp.broadcast_to(tb[None, :], (dim, 2))
+        t_lo, t_up = tb[:, 0], tb[:, 1]
+        return jnp.clip(theta0s, t_lo[None, :], t_up[None, :]), t_lo, t_up
+
+    def _select_next_point_fused(
+        self,
+        state: EgorState,
+        fmin: float,
+        xlimits: np.ndarray,
+        seed_xlimits: Optional[np.ndarray],
+        crit: str,
+        cstrat: str,
+        surrogate_tols,
+    ):
+        """One fused device program for the whole iteration (train +
+        scaling cloud + infill optimization), one host fetch. Consumes the
+        rng/key streams in the same order as the unfused path so results
+        are reproducible across both."""
+        from .fused_step import fused_select_point
+
+        cfg = self.config
+        xt, yt = state.x_data, state.y_data
+        m = yt.shape[1]
+        xp, yp, mask = self._pad(xt, yt)
+        theta0s, t_lo, t_up = self._theta_setup(state, m)
+        optimize_theta = (state.iter % cfg.q_optmod) == 0
+        fit_key = jax.random.key(int(state.rng.integers(0, 2**31)))
+        cloud_key = self._next_key()
+        starts = jnp.asarray(
+            self._multistart_seeds(state, xt, xlimits, seed_xlimits)
+        )
+        feasibility = state.feasibility or not os.environ.get(
+            "EGOR_USE_MAX_PROBA_OF_FEASIBILITY"
+        )
+        dtype = xp.dtype
+        packed, models = fused_select_point(
+            xp, yp, mask, theta0s, t_lo, t_up, fit_key, cloud_key,
+            starts, jnp.asarray(xlimits[:, 0], dtype),
+            jnp.asarray(xlimits[:, 1], dtype),
+            jnp.asarray(fmin, dtype), surrogate_tols.astype(dtype),
+            corr=self.spec.corr, trend=self.spec.trend,
+            kpls_dim=self.spec.kpls_dim, gp_n_start=self.spec.n_start,
+            gp_max_iters=self.spec.max_iters, fixed=not optimize_theta,
+            nugget=self.spec.nugget,
+            n_cloud=min(100 * self.nx, 1000),
+            crit=crit, cstr_strategy=cstrat, n_cstr=cfg.n_cstr,
+            cstr_infill=cfg.cstr_infill, feasibility=feasibility,
+            optimizer=_OPT_NAME[cfg.infill_optimizer],
+        )
+        state.theta_inits = models.theta  # stays on device (no sync)
+        record_gp_models(cfg.outdir, state.iter, models)
+        arr = np.asarray(packed)  # the single host fetch
+        xk = arr[: self.nx]
+        infill_value = float(-arr[self.nx])
+        return xk[None, :], np.zeros((1, m)), infill_value
+
     def select_next_points(
         self,
         state: EgorState,
@@ -371,6 +485,13 @@ class EgorSolver:
         qei = _QEI_NAME[cfg.q_infill_strategy]
         n_cstr = cfg.n_cstr
         surrogate_tols = jnp.asarray(state.cstr_tol[:n_cstr])
+
+        if self._fast_path_ok(fcstrs):
+            fmin = float(state.y_data[state.best_index, 0])
+            return self._select_next_point_fused(
+                state, fmin, xlimits, seed_xlimits, crit, cstrat,
+                surrogate_tols,
+            )
 
         x_dat: List[np.ndarray] = []
         y_dat: List[np.ndarray] = []
@@ -410,25 +531,9 @@ class EgorSolver:
                 crit=crit, n_cstr=n_cstr, cstr_infill=cfg.cstr_infill,
             )
 
-            # multistart seeds: middle-picker + LHS completion for global
-            # steps; pure local LHS inside a TREGO trust region
-            # (ref: trego.rs LocalLhsMultiStarter). The env kill-switch
-            # matches EGOR_DO_NOT_USE_MIDDLEPICKER_MULTISTARTER
-            # (ref: utils/mod.rs env flags).
-            use_middle = not os.environ.get(
-                "EGOR_DO_NOT_USE_MIDDLEPICKER_MULTISTARTER"
+            starts = jnp.asarray(
+                self._multistart_seeds(state, xt, xlimits, seed_xlimits)
             )
-            seed_box = seed_xlimits if seed_xlimits is not None else xlimits
-            if seed_box is self.xlimits and use_middle:
-                starts = middle_picker_starts(
-                    state.rng, xt, seed_box, cfg.n_start,
-                    lambda n: self._lhs_in(n, seed_box),
-                )
-            else:
-                starts = self._lhs_in(cfg.n_start, seed_box)
-            starts = jnp.asarray(np.clip(
-                starts, xlimits[:, 0], xlimits[:, 1]
-            ))
 
             # feasibility-first search when no feasible point exists yet
             # (env-gated like the reference: EGOR_USE_MAX_PROBA_OF_FEASIBILITY,

@@ -1,0 +1,58 @@
+"""EgorBatch: B independent optimizations in one vmapped program."""
+
+import numpy as np
+
+from egobox_tpu import EgorBatch
+from egobox_tpu.ego.config import GpConfig
+
+
+def xsinx(x):
+    x = np.atleast_2d(x)
+    return ((x - 3.5) * np.sin((x - 3.5) / np.pi)).reshape(-1, 1)
+
+
+def xsinx_shift(x):
+    x = np.atleast_2d(x)
+    return ((x - 4.5) * np.sin((x - 4.5) / np.pi)).reshape(-1, 1)
+
+
+def quad(x):
+    x = np.atleast_2d(x)
+    return ((x - 17.0) ** 2 / 10.0 - 5.0).reshape(-1, 1)
+
+
+def test_batch_list_of_problems():
+    probs = [xsinx, xsinx_shift, quad]
+    eb = EgorBatch(
+        probs, np.array([[0.0, 25.0]]), seed=42, n_start=6,
+        gp_config=GpConfig(n_start=3, max_eval=20),
+    )
+    results = eb.minimize(max_iters=14)
+    assert len(results) == 3
+    for r, f in zip(results, probs):
+        n = r.x_doe.shape[0]
+        assert r.y_doe.shape[0] == n
+        # best of the run improves on the best of the initial DoE
+        n_doe = eb.default_n_doe()
+        assert r.y_opt[0] <= r.y_doe[:n_doe, 0].min() + 1e-12
+    # the xsinx problem reaches its global optimum region
+    assert results[0].y_opt[0] < -14.0
+    assert abs(results[2].y_opt[0] - (-5.0)) < 0.5
+
+
+def test_batch_batched_callable_and_per_problem_xlimits():
+    def fbatch(x):  # (B, nx) -> (B, 1): sphere centered per problem
+        centers = np.array([[5.0], [10.0]])
+        return np.sum((x - centers) ** 2, axis=1, keepdims=True)
+
+    xl = np.stack([
+        np.array([[0.0, 20.0]]),
+        np.array([[0.0, 30.0]]),
+    ])
+    eb = EgorBatch(
+        fbatch, xl, seed=0, n_start=4,
+        gp_config=GpConfig(n_start=2, max_eval=15),
+    )
+    results = eb.minimize(max_iters=10)
+    assert abs(results[0].x_opt[0] - 5.0) < 1.0
+    assert abs(results[1].x_opt[0] - 10.0) < 1.5

@@ -1,0 +1,89 @@
+"""Fused single-program EGO iteration (ego/fused_step.py).
+
+The fused fast path must propose the same points as the unfused
+phase-per-program path: both consume the rng/key streams in the same order,
+so with a fixed seed the proposals agree to float tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from egobox_tpu.ego.config import EgorConfig, GpConfig
+from egobox_tpu.ego.solver import EgorSolver
+
+
+def xsinx(x):
+    x = np.atleast_2d(x)
+    return ((x - 3.5) * np.sin((x - 3.5) / np.pi)).reshape(-1, 1)
+
+
+def g24(x):
+    x = np.atleast_2d(x)
+    f = -x[:, 0] - x[:, 1]
+    g1 = -2.0 * x[:, 0] ** 4 + 8.0 * x[:, 0] ** 3 - 8.0 * x[:, 0] ** 2 + x[:, 1] - 2.0
+    g2 = -4.0 * x[:, 0] ** 4 + 32.0 * x[:, 0] ** 3 - 88.0 * x[:, 0] ** 2 + 96.0 * x[:, 0] + x[:, 1] - 36.0
+    return np.stack([f, g1, g2], axis=1)
+
+
+def _one_step_points(monkeypatch, fused: bool, n_cstr: int = 0):
+    if fused:
+        monkeypatch.delenv("EGOBOX_NO_FUSED_STEP", raising=False)
+    else:
+        monkeypatch.setenv("EGOBOX_NO_FUSED_STEP", "1")
+    cfg = EgorConfig(
+        seed=7, n_cstr=n_cstr, n_start=6,
+        gp_config=GpConfig(n_start=3, max_eval=15),
+    )
+    if n_cstr:
+        xlimits = np.array([[0.0, 3.0], [0.0, 4.0]])
+        fobj = g24
+    else:
+        xlimits = np.array([[0.0, 25.0]])
+        fobj = xsinx
+    solver = EgorSolver(cfg, xlimits)
+    state = solver.init_state(fobj)
+    x_dat, _, infill = solver.select_next_points(state)
+    return np.asarray(x_dat), infill
+
+
+def test_fused_matches_unfused_unconstrained(monkeypatch):
+    x_f, v_f = _one_step_points(monkeypatch, fused=True)
+    x_u, v_u = _one_step_points(monkeypatch, fused=False)
+    assert np.allclose(x_f, x_u, atol=1e-6)
+    assert np.isclose(v_f, v_u, rtol=1e-5, atol=1e-8)
+
+
+def test_fused_matches_unfused_constrained(monkeypatch):
+    x_f, _ = _one_step_points(monkeypatch, fused=True, n_cstr=2)
+    x_u, _ = _one_step_points(monkeypatch, fused=False, n_cstr=2)
+    assert np.allclose(x_f, x_u, atol=1e-5)
+
+
+def test_fused_xsinx_golden():
+    """The fused path is the default route for Egor.minimize on plain GP
+    problems — it must still hit the xsinx golden (BASELINE.md)."""
+    from egobox_tpu import Egor
+
+    egor = Egor([[0.0, 25.0]], seed=42)
+    res = egor.minimize(xsinx, max_iters=20)
+    assert res.y_opt[0] == pytest.approx(-15.125, abs=1e-3)
+    assert res.x_opt[0] == pytest.approx(18.935, abs=1e-2)
+
+
+def test_fast_path_gating(monkeypatch):
+    """MoE/CoEGO/q_points/fcstrs configurations must keep the general
+    path."""
+    xlimits = np.array([[0.0, 25.0]])
+    s = EgorSolver(EgorConfig(seed=1), xlimits)
+    assert s._fast_path_ok(())
+    assert not s._fast_path_ok((lambda x: 0.0,))
+    s2 = EgorSolver(EgorConfig(seed=1, q_points=2), xlimits)
+    assert not s2._fast_path_ok(())
+    s3 = EgorSolver(
+        EgorConfig(seed=1, gp_config=GpConfig(n_clusters=0)), xlimits
+    )
+    assert not s3._fast_path_ok(())
+    s4 = EgorSolver(EgorConfig(seed=1, coego_n_coop=4), xlimits)
+    assert not s4._fast_path_ok(())
+    monkeypatch.setenv("EGOBOX_NO_FUSED_STEP", "1")
+    assert not s._fast_path_ok(())
