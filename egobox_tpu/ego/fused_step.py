@@ -34,7 +34,7 @@ from .infill_optim import compute_scaling, optimize_infill
     static_argnames=(
         "corr", "trend", "kpls_dim", "gp_n_start", "gp_max_iters", "fixed",
         "nugget", "n_cloud", "crit", "cstr_strategy", "n_cstr",
-        "cstr_infill", "feasibility", "optimizer",
+        "cstr_infill", "feasibility", "optimizer", "ls_batch",
     ),
 )
 def fused_select_point(
@@ -66,6 +66,7 @@ def fused_select_point(
     cstr_infill: bool,
     feasibility: bool,
     optimizer: str,
+    ls_batch: int = 8,
 ):
     """Returns (packed, models): ``packed = [x_next (nx), -infill_value]``
     so the host fetches everything in one transfer; ``models`` is the
@@ -74,13 +75,16 @@ def fused_select_point(
     dim = theta0s.shape[1]
     dtype = xp.dtype
     active = jnp.ones((dim,), dtype=bool)
+    # clip warm-started inits inside the program (an eager clip would cost
+    # a dispatch roundtrip per iteration on a remote-attached device)
+    theta0s = jnp.clip(theta0s, theta_lo[None, :], theta_up[None, :])
 
     def fit_one(y, theta0):
         return fit_gp_core(
             xp, y[:, None], mask, theta0, theta_lo, theta_up, active,
             fit_key, corr=corr, trend=trend, kpls_dim=kpls_dim,
             n_start=gp_n_start, max_iters=gp_max_iters, fixed=fixed,
-            nugget=nugget,
+            nugget=nugget, ls_batch=ls_batch,
         )
 
     models = jax.vmap(fit_one)(yp.T, theta0s)
@@ -109,7 +113,7 @@ def fused_select_point(
     static_argnames=(
         "corr", "trend", "kpls_dim", "gp_n_start", "gp_max_iters", "fixed",
         "nugget", "n_cloud", "crit", "cstr_strategy", "n_cstr",
-        "cstr_infill", "feasibility", "optimizer",
+        "cstr_infill", "feasibility", "optimizer", "ls_batch",
     ),
 )
 def fused_select_point_batch(

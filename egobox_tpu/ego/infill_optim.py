@@ -27,6 +27,11 @@ from .surrogates import surrogate_valvar_cloud, surrogate_valvar_single
 
 CSTR_DOUBT = 3.0
 
+#: speculative-parallel line-search width for the infill L-BFGS: the K
+#: backtracking alphas are one batched posterior evaluation instead of up
+#: to max_ls sequential ones (optim/lbfgsb.py ls_batch)
+LS_BATCH = 8
+
 
 def _criterion(crit: str, mean, var, fmin, scale_wb2, sigma_weight=1.0):
     if crit == "EI":
@@ -123,7 +128,8 @@ def optimize_infill(
 
         def solve_one(x0):
             res = minimize_lbfgsb(
-                infill_obj, x0, lo, hi, max_iters=inner_iters * 2
+                infill_obj, x0, lo, hi, max_iters=inner_iters * 2,
+                ls_batch=LS_BATCH,
             )
             return res.x, res.fun, jnp.asarray(0.0, dtype)
 
@@ -154,6 +160,7 @@ def optimize_infill(
                     res = minimize_lbfgsb(
                         penalized, x, lo, hi,
                         max_iters=inner_iters * n_outer // 3,
+                        ls_batch=LS_BATCH,
                     )
                     return res.x, None
 
@@ -183,7 +190,8 @@ def optimize_infill(
                     )
 
                 res = minimize_lbfgsb(
-                    penalized, x, lo, hi, max_iters=inner_iters
+                    penalized, x, lo, hi, max_iters=inner_iters,
+                    ls_batch=LS_BATCH,
                 )
                 g = cstr_viol(res.x)
                 lam = jnp.maximum(lam + mu * g, 0.0)

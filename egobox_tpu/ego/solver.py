@@ -113,6 +113,10 @@ class EgorSolver:
         #: optional discrete-casting hook installed by the mixint layer
         #: (ref: MixintGpMixture input casting, gpmix/mixint.rs:295-746)
         self.cast_fn = None
+        #: device-array caches for the fused fast path (one-time uploads;
+        #: every eager device_put is a dispatch roundtrip on axon)
+        self._theta_bounds_dev = None
+        self._box_dev = {}
 
     def _cast(self, x: np.ndarray) -> np.ndarray:
         return self.cast_fn(x) if self.cast_fn is not None else x
@@ -391,9 +395,12 @@ class EgorSolver:
         )
 
     def _theta_setup(self, state: EgorState, m: int):
-        """Warm-start inits (clipped into bounds) + bounds, as device
-        arrays — mirrors train_gp_surrogates' preparation without any
-        host/device sync on the warm-started thetas."""
+        """Warm-start inits + bounds as device arrays — mirrors
+        train_gp_surrogates' preparation without any host/device sync on
+        the warm-started thetas (clipping into bounds happens inside the
+        fused program). The constant bound arrays are built once and
+        cached: on a remote-attached device every eager op is a dispatch
+        roundtrip."""
         dim = (
             self.spec.kpls_dim if self.spec.kpls_dim is not None else self.nx
         )
@@ -403,16 +410,22 @@ class EgorSolver:
                 self.theta_init if self.theta_init is not None
                 else np.full((dim,), 0.1)
             )
-            theta0s = jnp.broadcast_to(
-                jnp.asarray(base, default_dtype()), (m, dim)
+            theta0s = jnp.asarray(
+                np.broadcast_to(np.asarray(base), (m, dim)).copy(),
+                default_dtype(),
             )
-        else:
+        elif isinstance(theta0s, np.ndarray):
             theta0s = jnp.asarray(theta0s)
-        tb = jnp.asarray(self.theta_bounds, default_dtype())
-        if tb.ndim == 1:
-            tb = jnp.broadcast_to(tb[None, :], (dim, 2))
-        t_lo, t_up = tb[:, 0], tb[:, 1]
-        return jnp.clip(theta0s, t_lo[None, :], t_up[None, :]), t_lo, t_up
+        if self._theta_bounds_dev is None:
+            tb = np.asarray(self.theta_bounds, dtype=float)
+            if tb.ndim == 1:
+                tb = np.broadcast_to(tb[None, :], (dim, 2))
+            self._theta_bounds_dev = (
+                jnp.asarray(tb[:, 0], default_dtype()),
+                jnp.asarray(tb[:, 1], default_dtype()),
+            )
+        t_lo, t_up = self._theta_bounds_dev
+        return theta0s, t_lo, t_up
 
     def _select_next_point_fused(
         self,
@@ -445,15 +458,22 @@ class EgorSolver:
             "EGOR_USE_MAX_PROBA_OF_FEASIBILITY"
         )
         dtype = xp.dtype
+        box_key = xlimits.tobytes()
+        if box_key not in self._box_dev:
+            self._box_dev[box_key] = (
+                jnp.asarray(np.ascontiguousarray(xlimits[:, 0]), dtype),
+                jnp.asarray(np.ascontiguousarray(xlimits[:, 1]), dtype),
+                jnp.asarray(surrogate_tols, dtype),
+            )
+        lo_dev, hi_dev, tols_dev = self._box_dev[box_key]
         packed, models = fused_select_point(
             xp, yp, mask, theta0s, t_lo, t_up, fit_key, cloud_key,
-            starts, jnp.asarray(xlimits[:, 0], dtype),
-            jnp.asarray(xlimits[:, 1], dtype),
-            jnp.asarray(fmin, dtype), surrogate_tols.astype(dtype),
+            starts, lo_dev, hi_dev,
+            jnp.asarray(fmin, dtype), tols_dev,
             corr=self.spec.corr, trend=self.spec.trend,
             kpls_dim=self.spec.kpls_dim, gp_n_start=self.spec.n_start,
             gp_max_iters=self.spec.max_iters, fixed=not optimize_theta,
-            nugget=self.spec.nugget,
+            nugget=self.spec.nugget, ls_batch=self.spec.ls_batch,
             n_cloud=min(100 * self.nx, 1000),
             crit=crit, cstr_strategy=cstrat, n_cstr=cfg.n_cstr,
             cstr_infill=cfg.cstr_infill, feasibility=feasibility,
@@ -484,14 +504,15 @@ class EgorSolver:
         cstrat = _CSTR_NAME[cfg.cstr_strategy]
         qei = _QEI_NAME[cfg.q_infill_strategy]
         n_cstr = cfg.n_cstr
-        surrogate_tols = jnp.asarray(state.cstr_tol[:n_cstr])
 
         if self._fast_path_ok(fcstrs):
             fmin = float(state.y_data[state.best_index, 0])
             return self._select_next_point_fused(
                 state, fmin, xlimits, seed_xlimits, crit, cstrat,
-                surrogate_tols,
+                state.cstr_tol[:n_cstr],
             )
+
+        surrogate_tols = jnp.asarray(state.cstr_tol[:n_cstr])
 
         x_dat: List[np.ndarray] = []
         y_dat: List[np.ndarray] = []

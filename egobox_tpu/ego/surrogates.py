@@ -39,6 +39,10 @@ class GpSpec:
     n_start: int = 10
     max_iters: int = 50
     nugget: float = 100.0 * 2.220446049250313e-16
+    #: speculative-parallel line-search width for the (small-n) EGO-loop
+    #: fits — all alphas evaluated as one batched forward
+    #: (optim/lbfgsb.py ls_batch); 0/1 = classic sequential backtracking
+    ls_batch: int = 8
 
     @property
     def theta_dim_of(self):
@@ -48,15 +52,16 @@ class GpSpec:
 @partial(
     jax.jit,
     static_argnames=("corr", "trend", "kpls_dim", "n_start", "max_iters",
-                     "fixed", "nugget"),
+                     "fixed", "nugget", "ls_batch"),
 )
 def _fit_batch(x, ys, mask, theta0s, lo, up, active, key, *, corr, trend,
-               kpls_dim, n_start, max_iters, fixed, nugget):
+               kpls_dim, n_start, max_iters, fixed, nugget, ls_batch=8):
     def fit_one(y, theta0):
         return fit_gp_core(
             x, y[:, None], mask, theta0, lo, up, active, key,
             corr=corr, trend=trend, kpls_dim=kpls_dim, n_start=n_start,
             max_iters=max_iters, fixed=fixed, nugget=nugget,
+            ls_batch=ls_batch,
         )
 
     return jax.vmap(fit_one)(ys, theta0s)
@@ -106,6 +111,7 @@ def train_gp_surrogates(
         corr=spec.corr, trend=spec.trend, kpls_dim=spec.kpls_dim,
         n_start=spec.n_start, max_iters=spec.max_iters,
         fixed=not optimize_theta, nugget=spec.nugget,
+        ls_batch=spec.ls_batch,
     )
 
 

@@ -62,6 +62,7 @@ def _masked_norm(v, m, n_obs):
     jax.jit,
     static_argnames=(
         "corr", "trend", "kpls_dim", "n_start", "max_iters", "fixed",
+        "ls_batch",
     ),
 )
 def fit_gp_core(
@@ -81,6 +82,7 @@ def fit_gp_core(
     max_iters: int = 50,
     fixed: bool = False,
     nugget: float = 0.0,
+    ls_batch: int = 0,
 ) -> GpModel:
     n, nx = x.shape
     dtype = x.dtype
@@ -131,7 +133,7 @@ def fit_gp_core(
             return neg_rlf_theta(10.0**t_log10)
 
         solve = lambda t: minimize_lbfgsb(  # noqa: E731
-            neg_rlf, t, lo, up, max_iters=max_iters
+            neg_rlf, t, lo, up, max_iters=max_iters, ls_batch=ls_batch
         )
 
         res = jax.vmap(solve)(inits)

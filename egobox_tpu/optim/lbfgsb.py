@@ -47,6 +47,7 @@ def minimize_lbfgsb(
     xtol: float = 1e-12,
     fun_and_res: Callable = None,
     grad_from_res: Callable = None,
+    ls_batch: int = 0,
 ) -> LbfgsbResult:
     """Minimize ``fun`` (scalar) over the box [lower, upper].
 
@@ -60,6 +61,18 @@ def minimize_lbfgsb(
     directly, saving one full forward per iteration vs value_and_grad.
     The residual pytree rides the solver's while_loop carry (static
     shapes).
+
+    ``ls_batch > 1`` switches to a SPECULATIVE PARALLEL line search: all
+    ``ls_batch`` backtracking step sizes (1, 1/2, 1/4, ...) are evaluated
+    as ONE vmapped forward and the largest Armijo-passing alpha is taken —
+    the same point sequential backtracking would accept, at the device
+    cost of ~one batched evaluation instead of up to ``max_ls`` sequential
+    ones. On TPU the sequential trials inside a (vmapped) while loop are
+    the dominant cost of small-n fits — a batch of tiny Grams/Choleskys
+    costs nearly the same as one, so this is the TPU-shaped line search
+    (the reference's COBYLA has no line search at all; each of its probes
+    pays a full likelihood, gp/src/algorithm.rs:879-948). Memory is
+    ls_batch x the forward's live set — do NOT enable at n ~ 10k.
     """
     d = x0.shape[0]
     dtype = x0.dtype
@@ -123,6 +136,36 @@ def minimize_lbfgsb(
         r, _ = lax.scan(bwd, r, (order[::-1], alphas[::-1]))
         return r
 
+    def line_search_parallel(x, f, res, g, direction):
+        """Speculative parallel backtracking: evaluate all ls_batch
+        alphas in one vmapped forward, accept the largest alpha passing
+        Armijo (identical choice to sequential backtracking); if none
+        passes, fall back to the best trial if it still improves."""
+        c1 = 1e-4
+        alphas = 0.5 ** jnp.arange(ls_batch, dtype=dtype)
+
+        def trial(a):
+            x_new = clip(x + a * direction)
+            f_raw, res_new = fun_and_res(x_new)
+            return x_new, _sanitize(f_raw), res_new
+
+        xs, fs, ress = jax.vmap(trial)(alphas)
+        dxs = xs - x[None, :]
+        armijo = fs <= f + c1 * (dxs @ g)
+        any_ok = jnp.any(armijo)
+        idx = jnp.where(any_ok, jnp.argmax(armijo), jnp.argmin(fs))
+        x_new, f_new = xs[idx], fs[idx]
+        res_new = jax.tree_util.tree_map(lambda a: a[idx], ress)
+        improved = f_new < f
+        x_new = jnp.where(improved, x_new, x)
+        f_new = jnp.where(improved, f_new, f)
+        res_new = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(improved, a, b), res_new, res
+        )
+        g_new = grad_from_res(x_new, res_new)
+        g_new = jnp.where(improved, g_new, g)
+        return x_new, f_new, res_new, g_new, improved
+
     def line_search(x, f, res, g, direction):
         """Armijo backtracking along the projected path x(a)=clip(x+a*d).
 
@@ -168,7 +211,8 @@ def minimize_lbfgsb(
         descent = jnp.dot(direction, g) < 0
         direction = jnp.where(descent, direction, -g)
 
-        x_new, f_new, res_new, g_new, improved = line_search(
+        ls = line_search_parallel if ls_batch > 1 else line_search
+        x_new, f_new, res_new, g_new, improved = ls(
             x, f, res, g, direction
         )
         g_new = jnp.where(jnp.isfinite(g_new), g_new, 0.0)
