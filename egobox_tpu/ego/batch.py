@@ -289,7 +289,11 @@ class EgorBatch:
         return results
 
     def _lhs_in(self, n: int, xlimits: np.ndarray) -> np.ndarray:
-        u = lhs_normalized(
-            self._next_key(), n, self.nx, LhsKind.MAXIMIN, default_dtype()
+        from .solver import _lhs_in_prog
+
+        self._key, pts = _lhs_in_prog(
+            self._key, jnp.asarray(xlimits, default_dtype()), ns=n,
+            nx=self.nx,
         )
-        return np.asarray(u) * (xlimits[:, 1] - xlimits[:, 0]) + xlimits[:, 0]
+        return np.asarray(pts)
+
