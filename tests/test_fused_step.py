@@ -31,8 +31,8 @@ def _one_step_points(monkeypatch, fused: bool, n_cstr: int = 0):
     else:
         monkeypatch.setenv("EGOBOX_NO_FUSED_STEP", "1")
     cfg = EgorConfig(
-        seed=7, n_cstr=n_cstr, n_start=6,
-        gp_config=GpConfig(n_start=3, max_eval=15),
+        seed=7, n_cstr=n_cstr, n_start=4,
+        gp_config=GpConfig(n_start=2, max_eval=10),
     )
     if n_cstr:
         xlimits = np.array([[0.0, 3.0], [0.0, 4.0]])
