@@ -15,6 +15,7 @@ iteration budget; xlimits may differ per problem (they are traced values).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, List, Optional, Sequence, Union
 
 import jax
@@ -36,6 +37,18 @@ from .fused_step import fused_select_point_batch
 from .solver import _CRIT_NAME, _CSTR_NAME, _OPT_NAME, _bucket
 from .start_points import middle_picker_starts
 from .surrogates import GpSpec
+
+
+@partial(jax.jit, static_argnames=("ns", "nx"))
+def _fill_pool_prog(key, lo, hi, *, ns: int, nx: int):
+    """One maximin-LHS seed pool per problem, as ONE program: per-problem
+    fills fetched one-by-one would serialize B tunnel roundtrips per
+    iteration (measured: the dominant cost of EgorBatch at B=8)."""
+    keys = jax.random.split(key, lo.shape[0])
+    u = jax.vmap(
+        lambda k: lhs_normalized(k, ns, nx, LhsKind.MAXIMIN, lo.dtype)
+    )(keys)
+    return lo[:, None, :] + u * (hi - lo)[:, None, :]
 
 
 class EgorBatch:
@@ -216,12 +229,16 @@ class EgorBatch:
                 [y_data[b, best_idx[b], 0] for b in range(B)], dtype
             )
 
+            pool = np.asarray(_fill_pool_prog(
+                self._next_key(), lo_all, hi_all, ns=cfg.n_start,
+                nx=self.nx,
+            ))  # (B, n_start, nx): one dispatch + one fetch for ALL fills
             starts = np.stack([
                 np.clip(
                     middle_picker_starts(
                         self._rngs[b], x_data[b], self.xlimits[b],
                         cfg.n_start,
-                        lambda n, _b=b: self._lhs_in(n, self.xlimits[_b]),
+                        lambda n, _b=b: pool[_b][:n],
                     ),
                     self.xlimits[b, :, 0], self.xlimits[b, :, 1],
                 )
@@ -248,7 +265,9 @@ class EgorBatch:
             )
             theta0s = models.theta  # (B, m, dim) stays on device
             arr = np.asarray(packed)  # single host fetch per iteration
-            x_new = arr[:, : self.nx]
+            # writable copy: the de-dup branch below replaces rows, and a
+            # view of the fetched device buffer is read-only
+            x_new = np.array(arr[:, : self.nx])
 
             # de-dup: replace duplicate/non-finite proposals with a random
             # point so every problem adds exactly one point per iteration
@@ -287,13 +306,4 @@ class EgorBatch:
                 y_doe=y_data[b],
             ))
         return results
-
-    def _lhs_in(self, n: int, xlimits: np.ndarray) -> np.ndarray:
-        from .solver import _lhs_in_prog
-
-        self._key, pts = _lhs_in_prog(
-            self._key, jnp.asarray(xlimits, default_dtype()), ns=n,
-            nx=self.nx,
-        )
-        return np.asarray(pts)
 

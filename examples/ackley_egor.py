@@ -1,6 +1,6 @@
-"""Ackley 3-D with WB2S infill (mirror of the reference example
-crates/ego/examples/ackley.rs and the criterion bench ego.rs:16-50:
-10 iterations after a 10-point DoE, target y < 0.5)."""
+"""Ackley 3-D (mirror of the reference example
+crates/ego/examples/ackley.rs: Matern52 + LogEI + SLSQP, n_doe=20; the
+reference runs 480 iterations — this demo uses a short budget)."""
 
 import numpy as np
 
@@ -20,9 +20,11 @@ if __name__ == "__main__":
     xlimits = [[-32.768, 32.768]] * 3
     egor = egx.Egor(
         xlimits,
-        infill_strategy=egx.InfillStrategy.WB2S,
-        n_doe=10,
+        corr_spec=egx.CorrelationSpec.MATERN52,
+        infill_strategy=egx.InfillStrategy.LOG_EI,
+        infill_optimizer=egx.InfillOptimizer.SLSQP,
+        n_doe=20,
         seed=42,
     )
-    res = egor.minimize(ackley, max_iters=30)
+    res = egor.minimize(ackley, max_iters=40)
     print(f"Ackley 3D optimum y = {res.y_opt[0]:.4f} at x = {res.x_opt}")

@@ -40,6 +40,25 @@ def test_batch_list_of_problems():
     assert abs(results[2].y_opt[0] - (-5.0)) < 0.5
 
 
+def test_batch_duplicate_proposals_replaced():
+    """A constant objective makes the infill land on repeated points; the
+    de-dup branch must replace them (writable copy of the fetched buffer)
+    and keep one added point per problem per iteration."""
+    flat = lambda x: np.zeros((np.atleast_2d(x).shape[0], 1))  # noqa: E731
+    eb = EgorBatch(
+        [flat, flat], np.array([[0.0, 1.0]]), seed=3, n_start=3,
+        gp_config=GpConfig(n_start=2, max_eval=5),
+    )
+    results = eb.minimize(max_iters=4)
+    n_doe = eb.default_n_doe()
+    for r in results:
+        assert r.x_doe.shape[0] == n_doe + 4
+        # all points distinct (duplicates were replaced)
+        d = np.abs(r.x_doe[:, None, 0] - r.x_doe[None, :, 0])
+        np.fill_diagonal(d, 1.0)
+        assert d.min() > 0
+
+
 def test_batch_batched_callable_and_per_problem_xlimits():
     def fbatch(x):  # (B, nx) -> (B, 1): sphere centered per problem
         centers = np.array([[5.0], [10.0]])
