@@ -74,7 +74,13 @@ class EgorBatch:
         infill_optimizer: InfillOptimizer = InfillOptimizer.COBYLA,
         gp_config: Optional[GpConfig] = None,
         seed: Optional[int] = None,
+        mesh=None,
     ):
+        """``mesh``: optional 1-D ``jax.sharding.Mesh`` — the problem axis
+        shards across its devices, so a portfolio of B optimizations runs
+        B/D per chip with no cross-problem communication (the per-problem
+        programs are independent; GSPMD partitions the vmapped iteration
+        along the batch axis). B must be divisible by the mesh size."""
         if callable(fobj):
             if n_problems is None:
                 xl = np.asarray(xlimits, dtype=float)
@@ -135,6 +141,22 @@ class EgorBatch:
             np.random.default_rng(self._seed + 1000 * b)
             for b in range(n_problems)
         ]
+        self._mesh = mesh
+        if mesh is not None and n_problems % mesh.devices.size != 0:
+            raise ValueError(
+                f"n_problems={n_problems} must be divisible by the "
+                f"{mesh.devices.size}-device mesh"
+            )
+
+    def _shard(self, arr):
+        """Place a (B, ...) array with the problem axis split over the
+        mesh (no-op without a mesh)."""
+        if self._mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = self._mesh.axis_names[0]
+        return jax.device_put(arr, NamedSharding(self._mesh, P(ax)))
 
     # ------------------------------------------------------------------
 
@@ -252,8 +274,12 @@ class EgorBatch:
             cloud_keys = jax.random.split(self._next_key(), B)
 
             packed, models = fused_select_point_batch(
-                xp, yp, mask, theta0s, t_lo, t_up, fit_keys, cloud_keys,
-                jnp.asarray(starts, dtype), lo_all, hi_all, fmin, tols,
+                self._shard(xp), self._shard(yp), self._shard(mask),
+                self._shard(theta0s), t_lo, t_up, self._shard(fit_keys),
+                self._shard(cloud_keys),
+                self._shard(jnp.asarray(starts, dtype)),
+                self._shard(lo_all), self._shard(hi_all),
+                self._shard(fmin), tols,
                 corr=gpc.corr_names[0], trend=gpc.regr_names[0],
                 kpls_dim=gpc.kpls_dim, gp_n_start=gpc.n_start,
                 gp_max_iters=gpc.max_eval, fixed=False,

@@ -4,6 +4,7 @@ import numpy as np
 
 from egobox_tpu import EgorBatch
 from egobox_tpu.ego.config import GpConfig
+from egobox_tpu.parallel import make_mesh
 
 
 def xsinx(x):
@@ -38,6 +39,31 @@ def test_batch_list_of_problems():
     # the xsinx problem reaches its global optimum region
     assert results[0].y_opt[0] < -14.0
     assert abs(results[2].y_opt[0] - (-5.0)) < 0.5
+
+
+def test_batch_mesh_sharded_optimizes():
+    """The problem axis shards over the device mesh (B/D problems per
+    device, no cross-problem communication). GSPMD partitioning changes
+    fp reduction order, so trajectories are not bitwise-reproducible vs
+    the unsharded run — the contract is that every sharded problem still
+    optimizes to its own optimum."""
+    centers = np.arange(8, dtype=float) * 2.0 + 4.0
+
+    def fbatch(x):  # (B, 1) -> (B, 1)
+        return np.sum((x - centers[:, None]) ** 2, axis=1, keepdims=True)
+
+    xl = np.broadcast_to(np.array([[0.0, 25.0]]), (8, 1, 2))
+    mesh = make_mesh(8, axis="b")
+    res = EgorBatch(
+        fbatch, xl, mesh=mesh, seed=5, n_start=4,
+        gp_config=GpConfig(n_start=2, max_eval=10),
+    ).minimize(max_iters=8)
+    for c, r in zip(centers, res):
+        assert abs(r.x_opt[0] - c) < 1.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        EgorBatch(fbatch, xl, mesh=make_mesh(3, axis="b"), seed=5)
 
 
 def test_batch_duplicate_proposals_replaced():
