@@ -214,9 +214,120 @@ class EgorBatch:
 
     # ------------------------------------------------------------------
 
-    def minimize(self, max_iters: int = 20) -> List[OptimResult]:
+    def _propose(self, x_data: np.ndarray, y_data: np.ndarray, theta0s):
+        """One batched selection step: (B, n, .) histories -> (B, nx) next
+        points (de-duplicated, writable) + the fitted thetas (on device,
+        fed back as warm starts)."""
         cfg = self.config
         gpc = cfg.gp_config
+        B = self.n_problems
+        dtype = default_dtype()
+        cstr_tol = cfg.resolved_cstr_tol(0)
+
+        tb = jnp.asarray(self.theta_bounds, dtype)
+        if tb.ndim == 1:
+            tb = jnp.broadcast_to(tb[None, :], (self._dim, 2))
+        t_lo, t_up = tb[:, 0], tb[:, 1]
+        crit = _CRIT_NAME[cfg.infill_strategy]
+        cstrat = _CSTR_NAME[cfg.cstr_strategy]
+        tols = jnp.asarray(cstr_tol[: cfg.n_cstr], dtype)
+        lo_all = jnp.asarray(self.xlimits[:, :, 0], dtype)
+        hi_all = jnp.asarray(self.xlimits[:, :, 1], dtype)
+
+        xp, yp, mask = self._pad(x_data, y_data)
+        theta0s = jnp.clip(theta0s, t_lo[None, None], t_up[None, None])
+
+        best_idx = [
+            find_best_result_index(
+                y_data[b], np.zeros((y_data.shape[1], 0)), cstr_tol
+            )
+            for b in range(B)
+        ]
+        fmin = jnp.asarray(
+            [y_data[b, best_idx[b], 0] for b in range(B)], dtype
+        )
+
+        pool = np.asarray(_fill_pool_prog(
+            self._next_key(), lo_all, hi_all, ns=cfg.n_start,
+            nx=self.nx,
+        ))  # (B, n_start, nx): one dispatch + one fetch for ALL fills
+        starts = np.stack([
+            np.clip(
+                middle_picker_starts(
+                    self._rngs[b], x_data[b], self.xlimits[b],
+                    cfg.n_start,
+                    lambda n, _b=b: pool[_b][:n],
+                ),
+                self.xlimits[b, :, 0], self.xlimits[b, :, 1],
+            )
+            for b in range(B)
+        ])
+        fit_seeds = jnp.asarray(
+            [int(r.integers(0, 2**31)) for r in self._rngs],
+            jnp.uint32,
+        )
+        fit_keys = jax.vmap(jax.random.key)(fit_seeds)
+        cloud_keys = jax.random.split(self._next_key(), B)
+
+        packed, models = fused_select_point_batch(
+            self._shard(xp), self._shard(yp), self._shard(mask),
+            self._shard(theta0s), t_lo, t_up, self._shard(fit_keys),
+            self._shard(cloud_keys),
+            self._shard(jnp.asarray(starts, dtype)),
+            self._shard(lo_all), self._shard(hi_all),
+            self._shard(fmin), tols,
+            corr=gpc.corr_names[0], trend=gpc.regr_names[0],
+            kpls_dim=gpc.kpls_dim, gp_n_start=gpc.n_start,
+            gp_max_iters=gpc.max_eval, fixed=False,
+            nugget=GpSpec().nugget,
+            n_cloud=min(100 * self.nx, 1000), crit=crit,
+            cstr_strategy=cstrat, n_cstr=cfg.n_cstr,
+            cstr_infill=cfg.cstr_infill, feasibility=True,
+            optimizer=_OPT_NAME[cfg.infill_optimizer],
+        )
+        arr = np.asarray(packed)  # single host fetch per iteration
+        # writable copy: the de-dup branch below replaces rows, and a
+        # view of the fetched device buffer is read-only
+        x_new = np.array(arr[:, : self.nx])
+
+        # de-dup: replace duplicate/non-finite proposals with a random
+        # point so every problem adds exactly one point per iteration
+        # (keeps the batch shape uniform; cf. the reference's retry
+        # loop, solver_impl.rs:505-515)
+        for b in range(B):
+            d = np.sum(np.abs(x_data[b] - x_new[b][None, :]), axis=1)
+            if not np.all(np.isfinite(x_new[b])) or np.any(
+                d < 100.0 * np.finfo(float).eps
+            ):
+                u = self._rngs[b].uniform(size=self.nx)
+                x_new[b] = (
+                    self.xlimits[b, :, 0]
+                    + u * (self.xlimits[b, :, 1] - self.xlimits[b, :, 0])
+                )
+        return x_new, models.theta
+
+    def suggest(self, x_doe: np.ndarray, y_doe: np.ndarray) -> np.ndarray:
+        """Batched ask-and-tell (the EgorService role,
+        solver_impl.rs:56-101, vmapped over problems): given each
+        problem's evaluation history ``x_doe`` (B, n, nx) /
+        ``y_doe`` (B, n, 1 + n_cstr), propose the next point per problem
+        as one fused program — (B, nx)."""
+        x = np.asarray(x_doe, dtype=float)
+        y = np.asarray(y_doe, dtype=float)
+        if x.ndim != 3 or x.shape[0] != self.n_problems:
+            raise ValueError(
+                f"x_doe must be (B={self.n_problems}, n, nx), got {x.shape}"
+            )
+        m = 1 + self.config.n_cstr
+        y = y.reshape(self.n_problems, x.shape[1], m)
+        theta0s = jnp.full(
+            (self.n_problems, m, self._dim), 0.1, dtype=default_dtype()
+        )
+        x_new, _ = self._propose(x, y, theta0s)
+        return x_new
+
+    def minimize(self, max_iters: int = 20) -> List[OptimResult]:
+        cfg = self.config
         B = self.n_problems
         m = 1 + cfg.n_cstr
         dtype = default_dtype()
@@ -224,91 +335,10 @@ class EgorBatch:
 
         x_data = self._init_doe()  # (B, n, nx)
         y_data = self._eval_doe(x_data)  # (B, n, m)
-
         theta0s = jnp.full((B, m, self._dim), 0.1, dtype=dtype)
-        tb = jnp.asarray(self.theta_bounds, dtype)
-        if tb.ndim == 1:
-            tb = jnp.broadcast_to(tb[None, :], (self._dim, 2))
-        t_lo, t_up = tb[:, 0], tb[:, 1]
-
-        crit = _CRIT_NAME[cfg.infill_strategy]
-        cstrat = _CSTR_NAME[cfg.cstr_strategy]
-        tols = jnp.asarray(cstr_tol[: cfg.n_cstr], dtype)
-        lo_all = jnp.asarray(self.xlimits[:, :, 0], dtype)
-        hi_all = jnp.asarray(self.xlimits[:, :, 1], dtype)
 
         for _ in range(max_iters):
-            xp, yp, mask = self._pad(x_data, y_data)
-            theta0s = jnp.clip(theta0s, t_lo[None, None], t_up[None, None])
-
-            best_idx = [
-                find_best_result_index(
-                    y_data[b], np.zeros((y_data.shape[1], 0)), cstr_tol
-                )
-                for b in range(B)
-            ]
-            fmin = jnp.asarray(
-                [y_data[b, best_idx[b], 0] for b in range(B)], dtype
-            )
-
-            pool = np.asarray(_fill_pool_prog(
-                self._next_key(), lo_all, hi_all, ns=cfg.n_start,
-                nx=self.nx,
-            ))  # (B, n_start, nx): one dispatch + one fetch for ALL fills
-            starts = np.stack([
-                np.clip(
-                    middle_picker_starts(
-                        self._rngs[b], x_data[b], self.xlimits[b],
-                        cfg.n_start,
-                        lambda n, _b=b: pool[_b][:n],
-                    ),
-                    self.xlimits[b, :, 0], self.xlimits[b, :, 1],
-                )
-                for b in range(B)
-            ])
-            fit_seeds = jnp.asarray(
-                [int(r.integers(0, 2**31)) for r in self._rngs],
-                jnp.uint32,
-            )
-            fit_keys = jax.vmap(jax.random.key)(fit_seeds)
-            cloud_keys = jax.random.split(self._next_key(), B)
-
-            packed, models = fused_select_point_batch(
-                self._shard(xp), self._shard(yp), self._shard(mask),
-                self._shard(theta0s), t_lo, t_up, self._shard(fit_keys),
-                self._shard(cloud_keys),
-                self._shard(jnp.asarray(starts, dtype)),
-                self._shard(lo_all), self._shard(hi_all),
-                self._shard(fmin), tols,
-                corr=gpc.corr_names[0], trend=gpc.regr_names[0],
-                kpls_dim=gpc.kpls_dim, gp_n_start=gpc.n_start,
-                gp_max_iters=gpc.max_eval, fixed=False,
-                nugget=GpSpec().nugget,
-                n_cloud=min(100 * self.nx, 1000), crit=crit,
-                cstr_strategy=cstrat, n_cstr=cfg.n_cstr,
-                cstr_infill=cfg.cstr_infill, feasibility=True,
-                optimizer=_OPT_NAME[cfg.infill_optimizer],
-            )
-            theta0s = models.theta  # (B, m, dim) stays on device
-            arr = np.asarray(packed)  # single host fetch per iteration
-            # writable copy: the de-dup branch below replaces rows, and a
-            # view of the fetched device buffer is read-only
-            x_new = np.array(arr[:, : self.nx])
-
-            # de-dup: replace duplicate/non-finite proposals with a random
-            # point so every problem adds exactly one point per iteration
-            # (keeps the batch shape uniform; cf. the reference's retry
-            # loop, solver_impl.rs:505-515)
-            for b in range(B):
-                d = np.sum(np.abs(x_data[b] - x_new[b][None, :]), axis=1)
-                if not np.all(np.isfinite(x_new[b])) or np.any(
-                    d < 100.0 * np.finfo(float).eps
-                ):
-                    u = self._rngs[b].uniform(size=self.nx)
-                    x_new[b] = (
-                        self.xlimits[b, :, 0]
-                        + u * (self.xlimits[b, :, 1] - self.xlimits[b, :, 0])
-                    )
+            x_new, theta0s = self._propose(x_data, y_data, theta0s)
             y_new = self._eval(x_new)
             bad = ~np.isfinite(y_new)
             if bad.any():

@@ -66,6 +66,26 @@ def test_batch_mesh_sharded_optimizes():
         EgorBatch(fbatch, xl, mesh=make_mesh(3, axis="b"), seed=5)
 
 
+def test_batch_suggest_ask_tell():
+    """Batched EgorService role: one fused program proposes the next
+    point for every problem from user-supplied histories."""
+    rng = np.random.default_rng(0)
+    x_doe = rng.uniform(0, 25, (3, 6, 1))
+    y_doe = np.stack([
+        np.asarray(f(x_doe[b])) for b, f in enumerate([xsinx, xsinx_shift, quad])
+    ])
+    eb = EgorBatch(
+        [xsinx, xsinx_shift, quad], np.array([[0.0, 25.0]]), seed=9,
+        n_start=4, gp_config=GpConfig(n_start=2, max_eval=10),
+    )
+    x_next = eb.suggest(x_doe, y_doe)
+    assert x_next.shape == (3, 1)
+    assert np.all((x_next >= 0.0) & (x_next <= 25.0))
+    # proposals are new points
+    for b in range(3):
+        assert np.abs(x_doe[b, :, 0] - x_next[b, 0]).min() > 1e-9
+
+
 def test_batch_duplicate_proposals_replaced():
     """A constant objective makes the infill land on repeated points; the
     de-dup branch must replace them (writable copy of the fetched buffer)
