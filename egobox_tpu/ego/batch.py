@@ -11,6 +11,15 @@ Scope: the fused fast-path feature set — single-cluster GP surrogates,
 EI/LogEI/WB2/WB2S infill, surrogate constraints (MC/UTB or cstr_infill),
 q_points=1, continuous variables. Problems share nx, n_cstr, and the
 iteration budget; xlimits may differ per problem (they are traced values).
+
+Known divergences from the single-problem solver (documented, by design):
+- ``q_optmod`` theta-thinning and the EGOR_USE_MAX_PROBA_OF_FEASIBILITY
+  feasibility-first search are not threaded through the batched call —
+  every iteration re-optimizes theta and searches the standard criterion.
+- Middle-picker LHS completion draws the first n rows of one precomputed
+  n_start-point maximin pool per problem rather than a fresh n-point LHS
+  (a truncated LHS has weaker stratification; acceptable for seed points,
+  and it keeps the fill at one program dispatch per iteration).
 """
 
 from __future__ import annotations

@@ -467,8 +467,15 @@ class EgorSolver:
             "EGOR_USE_MAX_PROBA_OF_FEASIBILITY"
         )
         dtype = xp.dtype
-        box_key = xlimits.tobytes()
+        # key on BOTH the box and the tolerances (a mutated cstr_tol must
+        # not serve stale device buffers), and bound the cache size
+        box_key = (
+            xlimits.tobytes(),
+            np.ascontiguousarray(surrogate_tols, dtype=float).tobytes(),
+        )
         if box_key not in self._box_dev:
+            if len(self._box_dev) >= 32:
+                self._box_dev.pop(next(iter(self._box_dev)))
             self._box_dev[box_key] = (
                 jnp.asarray(np.ascontiguousarray(xlimits[:, 0]), dtype),
                 jnp.asarray(np.ascontiguousarray(xlimits[:, 1]), dtype),

@@ -139,17 +139,44 @@ def minimize_lbfgsb(
     def line_search_parallel(x, f, res, g, direction):
         """Speculative parallel backtracking: evaluate all ls_batch
         alphas in one vmapped forward, accept the largest alpha passing
-        Armijo (identical choice to sequential backtracking); if none
-        passes, fall back to the best trial if it still improves."""
+        Armijo — the same point sequential backtracking accepts whenever
+        Armijo fires within the first ls_batch halvings (the common
+        case). If NO trial in the batch improves, further batches of
+        ls_batch halved alphas are evaluated (while_loop) until one
+        improves or the sequential search's 2^-max_ls floor is reached,
+        so ill-scaled objectives keep the same reach as sequential
+        backtracking instead of stalling at alpha = 2^-(ls_batch-1)."""
         c1 = 1e-4
-        alphas = 0.5 ** jnp.arange(ls_batch, dtype=dtype)
 
-        def trial(a):
-            x_new = clip(x + a * direction)
-            f_raw, res_new = fun_and_res(x_new)
-            return x_new, _sanitize(f_raw), res_new
+        def trial_batch(scale):
+            alphas = scale * 0.5 ** jnp.arange(ls_batch, dtype=dtype)
 
-        xs, fs, ress = jax.vmap(trial)(alphas)
+            def trial(a):
+                x_new = clip(x + a * direction)
+                f_raw, res_new = fun_and_res(x_new)
+                return x_new, _sanitize(f_raw), res_new
+
+            return jax.vmap(trial)(alphas)
+
+        xs, fs, ress = trial_batch(jnp.asarray(1.0, dtype))
+        n_rounds = max(1, -(-max_ls // ls_batch))
+
+        def deeper_cond(carry):
+            scale, _xs, fs_c, _ress, r = carry
+            return (jnp.min(fs_c) >= f) & (r < n_rounds)
+
+        def deeper_body(carry):
+            scale, _xs, _fs, _ress, r = carry
+            scale = scale * (0.5**ls_batch)
+            xs_n, fs_n, ress_n = trial_batch(scale)
+            return scale, xs_n, fs_n, ress_n, r + 1
+
+        _, xs, fs, ress, _ = lax.while_loop(
+            deeper_cond,
+            deeper_body,
+            (jnp.asarray(1.0, dtype), xs, fs, ress,
+             jnp.asarray(1, jnp.int32)),
+        )
         dxs = xs - x[None, :]
         armijo = fs <= f + c1 * (dxs @ g)
         any_ok = jnp.any(armijo)
