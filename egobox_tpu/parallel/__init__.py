@@ -1,9 +1,19 @@
 """Multi-chip scaling via jax.sharding (SURVEY.md §2.6 TPU replacements)."""
 
 from .dist_chol import (
+    block_cyclic_perm,
+    cholesky_blockcyclic,
     cholesky_rowsharded,
+    pick_panel_size,
     reduced_likelihood_distributed,
+    solve_lower_blockcyclic,
     solve_lower_rowsharded,
+)
+from .dist_fit import (
+    dist_grad_theta,
+    dist_likelihood_parts,
+    fit_theta_distributed,
+    make_neg_rlf_distributed,
 )
 from .sharding import (
     corr_cross_multichip,
@@ -17,7 +27,15 @@ from .sharding import (
 )
 
 __all__ = [
+    "block_cyclic_perm",
+    "cholesky_blockcyclic",
     "cholesky_rowsharded",
+    "dist_grad_theta",
+    "dist_likelihood_parts",
+    "fit_theta_distributed",
+    "make_neg_rlf_distributed",
+    "pick_panel_size",
+    "solve_lower_blockcyclic",
     "corr_cross_multichip",
     "fit_gp_multichip",
     "shard_rows",
