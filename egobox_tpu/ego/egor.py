@@ -121,6 +121,13 @@ class Egor:
         return wrapped
 
     def _wrap_cstr(self, c: Callable) -> Callable:
+        if not self.mixint.is_discrete:
+            # continuous space: pass the user's callable through unchanged
+            # so jax-traceable constraints can enter the fused in-program
+            # optimizer (solver._fcstrs_traceable); host consumers coerce
+            # the return value themselves
+            return c
+
         def wrapped(x_cont: np.ndarray) -> float:
             x_user = self.mixint.to_discrete_space(
                 np.atleast_2d(x_cont)
@@ -211,16 +218,21 @@ class Egor:
                 with open(ckpt) as f:
                     state = EgorState.from_dict(json.load(f))
                 return state, state.iter
-        # warm start: reload evaluated DoE (ref: egor_solver.rs:192-224)
+        # warm start: reload evaluated DoE, falling back to the initial-DoE
+        # snapshot when only that exists — the reference reads BOTH files
+        # (ref: egor_solver.rs:192-224 egor_doe.npy then
+        # egor_initial_doe.npy)
         doe = None
         y_doe = None
         if cfg.warm_start and outdir:
-            doe_path = os.path.join(outdir, EGOR_DOE_FILE)
-            if os.path.exists(doe_path):
-                data = np.load(doe_path)
-                nx = self.solver.nx
-                doe = data[:, :nx]
-                y_doe = data[:, nx : nx + 1 + cfg.n_cstr]
+            for fname in (EGOR_DOE_FILE, EGOR_INITIAL_DOE_FILE):
+                doe_path = os.path.join(outdir, fname)
+                if os.path.exists(doe_path):
+                    data = np.load(doe_path)
+                    nx = self.solver.nx
+                    doe = data[:, :nx]
+                    y_doe = data[:, nx : nx + 1 + cfg.n_cstr]
+                    break
         state = self.solver.init_state(wfun, wcstrs, doe=doe, y_doe=y_doe)
         if outdir:
             np.save(
@@ -245,17 +257,59 @@ class Egor:
                 json.dump(state.to_dict(), f)
 
     def _dump_config(self, outdir, max_iters):
+        """Serialize the ENTIRE config (ref: egor.rs:234-239 dumps the full
+        EgorConfig) so a run is reproducible from its artifacts alone."""
         cfg = self.config
+        gpc = cfg.gp_config
         payload = {
             "max_iters": max_iters,
             "n_cstr": cfg.n_cstr,
+            "cstr_tol": None if cfg.cstr_tol is None
+            else np.asarray(cfg.cstr_tol, dtype=float).tolist(),
+            "cstr_infill": cfg.cstr_infill,
+            "cstr_strategy": cfg.cstr_strategy.value,
             "n_start": cfg.n_start,
             "n_doe": cfg.n_doe,
             "infill_strategy": cfg.infill_strategy.value,
-            "cstr_strategy": cfg.cstr_strategy.value,
+            "infill_optimizer": cfg.infill_optimizer.value,
             "q_points": cfg.q_points,
+            "q_infill_strategy": cfg.q_infill_strategy.value,
+            "q_optmod": cfg.q_optmod,
+            "target": None if not np.isfinite(cfg.target)
+            else float(cfg.target),
+            "warm_start": cfg.warm_start,
+            "hot_start": cfg.hot_start,
             "seed": cfg.seed,
-            "trego": cfg.trego.activated,
+            "coego_n_coop": cfg.coego_n_coop,
+            "coego_partial_theta_tuning": cfg.coego_partial_theta_tuning,
+            "shape_bucket": cfg.shape_bucket,
+            "trego": {
+                "activated": cfg.trego.activated,
+                "n_local_steps": cfg.trego.n_local_steps,
+                "d": list(cfg.trego.d),
+                "beta": cfg.trego.beta,
+                "gamma": cfg.trego.gamma,
+                "sigma0": cfg.trego.sigma0,
+            },
+            "gp_config": {
+                "regr_spec": gpc.regr_spec.value,
+                "corr_spec": gpc.corr_spec.value,
+                "kpls_dim": gpc.kpls_dim,
+                "n_clusters": gpc.n_clusters,
+                "recombination": gpc.recombination.value,
+                "theta_init": None if gpc.theta_init is None
+                else np.asarray(gpc.theta_init, dtype=float).tolist(),
+                "theta_bounds": None if gpc.theta_bounds is None
+                else np.asarray(gpc.theta_bounds, dtype=float).tolist(),
+                "n_start": gpc.n_start,
+                "max_eval": gpc.max_eval,
+            },
+            "xspecs": [
+                {"xtype": s.xtype.value,
+                 "xlimits": np.asarray(s.xlimits, dtype=float).tolist(),
+                 "tags": list(getattr(s, "tags", []) or [])}
+                for s in self.xspecs
+            ],
         }
         with open(os.path.join(outdir, EGOR_CONFIG_FILE), "w") as f:
             json.dump(payload, f, indent=2)

@@ -75,6 +75,7 @@ def _infill_obj_terms(crit, means, vrs, fmin, scale_infill, scale_wb2,
     static_argnames=(
         "crit", "cstr_strategy", "n_cstr", "cstr_infill",
         "inner_iters", "n_outer", "feasibility", "optimizer",
+        "fcstr_fns",
     ),
 )
 def optimize_infill(
@@ -88,6 +89,8 @@ def optimize_infill(
     scale_cstr,  # (n_cstr,)
     cstr_tols,  # (n_cstr,)
     sigma_weight=1.0,
+    fcstr_tols=None,  # (n_fcstr,) tolerances for the traced fcstrs
+    scale_fcstr=None,  # (n_fcstr,) cloud-derived scales
     *,
     crit: str = "LogEI",
     cstr_strategy: str = "MC",
@@ -97,6 +100,7 @@ def optimize_infill(
     n_outer: int = 4,
     feasibility: bool = True,
     optimizer: str = "COBYLA",
+    fcstr_fns: tuple = (),
 ):
     """Returns (x_best (nx,), infill_obj_best, per-start results).
 
@@ -112,8 +116,16 @@ def optimize_infill(
 
     Both are jitted and vmapped over starts; unconstrained problems share
     one plain bounded L-BFGS path.
+
+    ``fcstr_fns``: jax-traceable user function constraints g(x) <=
+    fcstr_tol, entering every local solve of every multistart as hard
+    constraints — the in-program equivalent of the reference's CstrFn
+    threading through COBYLA/SLSQP (optimizers/optimizer.rs:122-223,
+    solver_impl.rs:716-741). Non-traceable callbacks keep using the host
+    polish fallback (solver._fcstr_polish).
     """
     dtype = starts.dtype
+    n_fcstr = len(fcstr_fns)
 
     def infill_obj(x):
         means, vrs = surrogate_valvar_single(models, x)
@@ -122,7 +134,8 @@ def optimize_infill(
             cstr_infill, sigma_weight, feasibility,
         )
 
-    hard_cstr = (n_cstr > 0) and not cstr_infill and feasibility
+    surr_hard = (n_cstr > 0) and not cstr_infill and feasibility
+    hard_cstr = surr_hard or n_fcstr > 0
 
     if not hard_cstr:
 
@@ -136,11 +149,24 @@ def optimize_infill(
     else:
 
         def cstr_viol(x):
-            means, vrs = surrogate_valvar_single(models, x)
-            g = means[1:]
-            if cstr_strategy == "UTB":
-                g = g + CSTR_DOUBT * jnp.sqrt(jnp.maximum(vrs[1:], 0.0))
-            return (g - cstr_tols) / scale_cstr
+            parts = []
+            if surr_hard:
+                means, vrs = surrogate_valvar_single(models, x)
+                g = means[1:]
+                if cstr_strategy == "UTB":
+                    g = g + CSTR_DOUBT * jnp.sqrt(
+                        jnp.maximum(vrs[1:], 0.0)
+                    )
+                parts.append((g - cstr_tols) / scale_cstr)
+            if n_fcstr:
+                gfc = jnp.stack(
+                    [jnp.asarray(fn(x), dtype).reshape(())
+                     for fn in fcstr_fns]
+                )
+                parts.append((gfc - fcstr_tols) / scale_fcstr)
+            return jnp.concatenate(parts)
+
+        n_hard = (n_cstr if surr_hard else 0) + n_fcstr
 
         if optimizer == "SLSQP":
 
@@ -176,7 +202,7 @@ def optimize_infill(
             return _pick_best(xs, fs, vs)
 
         def solve_one(x0):
-            lam0 = jnp.zeros((n_cstr,), dtype)
+            lam0 = jnp.zeros((n_hard,), dtype)
             mu0 = jnp.asarray(10.0, dtype)
 
             def outer(carry, _):

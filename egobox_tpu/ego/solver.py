@@ -126,6 +126,7 @@ class EgorSolver:
         #: every eager device_put is a dispatch roundtrip on axon)
         self._theta_bounds_dev = None
         self._box_dev = {}
+        self._fcstr_trace_cache = {}
 
     def _cast(self, x: np.ndarray) -> np.ndarray:
         return self.cast_fn(x) if self.cast_fn is not None else x
@@ -386,16 +387,56 @@ class EgorSolver:
             starts = self._lhs_in(cfg.n_start, seed_box)
         return np.clip(starts, xlimits[:, 0], xlimits[:, 1])
 
+    def _fcstrs_traceable(self, fcstrs) -> bool:
+        """True when every user function constraint jax-traces to a scalar
+        (probed once per function identity with jax.eval_shape) — those
+        enter the fused program as hard optimizer constraints; anything
+        host-bound (numpy conversions, python branching on x) falls back
+        to the derivative-free polish. Kill-switch:
+        EGOBOX_NO_FCSTR_TRACE."""
+        if os.environ.get("EGOBOX_NO_FCSTR_TRACE"):
+            return False
+        key = tuple(id(f) for f in fcstrs)
+        hit = self._fcstr_trace_cache.get(key)
+        if hit is not None:
+            return hit
+        probe = jax.ShapeDtypeStruct((self.nx,), default_dtype())
+        ok = True
+        for f in fcstrs:
+            try:
+                out = jax.eval_shape(f, probe)
+                # must reduce to one scalar value (shape () or (1,))
+                if (
+                    not hasattr(out, "shape")
+                    or int(np.prod(out.shape)) != 1
+                ):
+                    ok = False
+                    break
+            except Exception:
+                ok = False
+                break
+        if len(self._fcstr_trace_cache) >= 32:
+            self._fcstr_trace_cache.clear()
+        self._fcstr_trace_cache[key] = ok
+        return ok
+
     def _fast_path_ok(self, fcstrs) -> bool:
-        """The fused single-program iteration applies on the plain
-        single-cluster GP path (ego/fused_step.py)."""
+        """The fused single-program iteration applies on the
+        single-cluster GP path (ego/fused_step.py). Round 3 widened the
+        gate: q_points > 1 runs as a lax.scan over virtual points, and
+        jax-traceable fcstrs enter the in-program optimizer (the q > 1
+        variant returns thetas but not full models, so the GP recorder
+        keeps the unfused path)."""
         gpc = self.config.gp_config
         multi_combo = (
             len(gpc.regr_names) > 1 or len(gpc.corr_names) > 1
         )
+        q_ok = self.config.q_points == 1 or not os.environ.get(
+            "EGOR_USE_GP_RECORDER"
+        )
         return (
-            self.config.q_points == 1
-            and not fcstrs
+            q_ok
+            and (not fcstrs or self._fcstrs_traceable(fcstrs))
             and gpc.n_clusters == 1
             and not multi_combo
             and self.config.coego_n_coop <= 1
@@ -445,12 +486,18 @@ class EgorSolver:
         crit: str,
         cstrat: str,
         surrogate_tols,
+        fcstrs: Sequence[Callable] = (),
+        qei: str = "KB",
     ):
         """One fused device program for the whole iteration (train +
-        scaling cloud + infill optimization), one host fetch. Consumes the
-        rng/key streams in the same order as the unfused path so results
-        are reproducible across both."""
-        from .fused_step import fused_select_point
+        scaling cloud + infill optimization), one host fetch. At
+        q_points=1 it consumes the rng/key streams in the same order as
+        the unfused path so results are reproducible across both
+        (asserted in tests/test_fused_step.py); the q > 1 scan draws its
+        multistart seeds from the ORIGINAL DoE for every virtual step
+        (the unfused loop re-runs the middle picker on the augmented DoE
+        — documented divergence)."""
+        from .fused_step import fused_select_point, fused_select_points_q
 
         cfg = self.config
         xt, yt = state.x_data, state.y_data
@@ -482,10 +529,13 @@ class EgorSolver:
                 jnp.asarray(surrogate_tols, dtype),
             )
         lo_dev, hi_dev, tols_dev = self._box_dev[box_key]
-        packed, models = fused_select_point(
-            xp, yp, mask, theta0s, t_lo, t_up, fit_key, cloud_key,
-            starts, lo_dev, hi_dev,
-            jnp.asarray(fmin, dtype), tols_dev,
+        n_fcstr = len(fcstrs)
+        fcstr_tols = (
+            jnp.asarray(state.cstr_tol[cfg.n_cstr:cfg.n_cstr + n_fcstr],
+                        dtype)
+            if n_fcstr else None
+        )
+        statics = dict(
             corr=self.spec.corr, trend=self.spec.trend,
             kpls_dim=self.spec.kpls_dim, gp_n_start=self.spec.n_start,
             gp_max_iters=self.spec.max_iters, fixed=not optimize_theta,
@@ -494,6 +544,33 @@ class EgorSolver:
             crit=crit, cstr_strategy=cstrat, n_cstr=cfg.n_cstr,
             cstr_infill=cfg.cstr_infill, feasibility=feasibility,
             optimizer=_OPT_NAME[cfg.infill_optimizer],
+            fcstr_fns=tuple(fcstrs),
+        )
+        if cfg.q_points > 1:
+            starts_more = [
+                jnp.asarray(self._multistart_seeds(
+                    state, xt, xlimits, seed_xlimits))
+                for _ in range(cfg.q_points - 1)
+            ]
+            starts_q = jnp.stack([starts] + starts_more)
+            i_min = int(np.argmin(state.y_data[:, 0]))
+            y_best = jnp.asarray(state.y_data[i_min], dtype)
+            packed, theta_last = fused_select_points_q(
+                xp, yp, mask, theta0s, t_lo, t_up, fit_key, cloud_key,
+                starts_q, lo_dev, hi_dev, jnp.asarray(fmin, dtype),
+                tols_dev, y_best, fcstr_tols,
+                q_points=cfg.q_points, qei=qei, **statics,
+            )
+            state.theta_inits = theta_last  # stays on device (no sync)
+            arr = np.asarray(packed)  # the single host fetch
+            xk = arr[:, : self.nx]
+            infill_value = float(-arr[0, self.nx])
+            yk = arr[:, self.nx + 1:]
+            return xk, yk, infill_value
+        packed, models = fused_select_point(
+            xp, yp, mask, theta0s, t_lo, t_up, fit_key, cloud_key,
+            starts, lo_dev, hi_dev,
+            jnp.asarray(fmin, dtype), tols_dev, fcstr_tols, **statics,
         )
         state.theta_inits = models.theta  # stays on device (no sync)
         record_gp_models(cfg.outdir, state.iter, models)
@@ -525,7 +602,7 @@ class EgorSolver:
             fmin = float(state.y_data[state.best_index, 0])
             return self._select_next_point_fused(
                 state, fmin, xlimits, seed_xlimits, crit, cstrat,
-                state.cstr_tol[:n_cstr],
+                state.cstr_tol[:n_cstr], fcstrs, qei,
             )
 
         surrogate_tols = jnp.asarray(state.cstr_tol[:n_cstr])

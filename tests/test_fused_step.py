@@ -71,14 +71,27 @@ def test_fused_xsinx_golden():
 
 
 def test_fast_path_gating(monkeypatch):
-    """MoE/CoEGO/q_points/fcstrs configurations must keep the general
-    path."""
+    """MoE/CoEGO/portfolio configurations keep the general path; since
+    round 3 traceable fcstrs and q_points > 1 ride the fused program."""
     xlimits = np.array([[0.0, 25.0]])
     s = EgorSolver(EgorConfig(seed=1), xlimits)
     assert s._fast_path_ok(())
-    assert not s._fast_path_ok((lambda x: 0.0,))
+    # jax-traceable constraint: enters the fused in-program optimizer
+    assert s._fast_path_ok((lambda x: x[0] - 18.0,))
+    # host-bound constraint (float() forces a concrete value): fallback
+    assert not s._fast_path_ok((lambda x: float(np.asarray(x)[0]),))
+    # explicit kill-switch for fcstr tracing
+    monkeypatch.setenv("EGOBOX_NO_FCSTR_TRACE", "1")
+    s_kill = EgorSolver(EgorConfig(seed=1), xlimits)
+    assert not s_kill._fast_path_ok((lambda x: x[0] - 18.0,))
+    monkeypatch.delenv("EGOBOX_NO_FCSTR_TRACE")
+    # q_points > 1 is fused now — except under the GP recorder (the q scan
+    # returns thetas, not full models)
     s2 = EgorSolver(EgorConfig(seed=1, q_points=2), xlimits)
+    assert s2._fast_path_ok(())
+    monkeypatch.setenv("EGOR_USE_GP_RECORDER", "1")
     assert not s2._fast_path_ok(())
+    monkeypatch.delenv("EGOR_USE_GP_RECORDER")
     s3 = EgorSolver(
         EgorConfig(seed=1, gp_config=GpConfig(n_clusters=0)), xlimits
     )
@@ -87,3 +100,40 @@ def test_fast_path_gating(monkeypatch):
     assert not s4._fast_path_ok(())
     monkeypatch.setenv("EGOBOX_NO_FUSED_STEP", "1")
     assert not s._fast_path_ok(())
+
+
+def test_fused_traceable_fcstr():
+    """A jax-traceable user constraint enters the fused in-program
+    optimizer as a hard constraint (round-3 widening; ref CstrFn
+    threading, optimizers/optimizer.rs:122-223). Constrained optimum of
+    xsinx s.t. x <= 18."""
+    from egobox_tpu import Egor
+
+    def cstr(x):
+        return x[0] - 18.0  # traceable: no float()/numpy coercion
+
+    egor = Egor([[0.0, 25.0]], seed=42)
+    solver = egor.solver
+    assert solver._fast_path_ok((cstr,))
+    res = egor.minimize(xsinx, fcstrs=[cstr], max_iters=15)
+    true_y = float(xsinx(np.array([[18.0]]))[0, 0])
+    assert res.x_opt[0] <= 18.0 + 1e-3
+    assert abs(res.y_opt[0] - true_y) < 0.5
+
+
+def test_fused_qei_one_dispatch(monkeypatch):
+    """q_points=2 rides the fused scan: one select_next_points call
+    returns 2 distinct in-box proposals with virtual outputs."""
+    cfg = EgorConfig(
+        seed=7, q_points=2, n_start=4,
+        gp_config=GpConfig(n_start=2, max_eval=10),
+    )
+    xlimits = np.array([[0.0, 25.0]])
+    solver = EgorSolver(cfg, xlimits)
+    state = solver.init_state(xsinx)
+    x_dat, y_dat, _ = solver.select_next_points(state)
+    assert x_dat.shape == (2, 1)
+    assert y_dat.shape[0] == 2
+    assert np.all(x_dat >= 0.0) and np.all(x_dat <= 25.0)
+    assert abs(x_dat[0, 0] - x_dat[1, 0]) > 1e-8
+    assert np.all(np.isfinite(y_dat))
