@@ -281,9 +281,29 @@ def _arr(a):
 
 
 def _serialize_mixture(mix: GpMixture, training) -> dict:
+    """Typed expert registry: every surrogate kind the mixture can hold
+    serializes with a ``type`` tag — the JSON/pickle equivalent of the
+    reference's typetag registry that covers dense AND sparse surrogates
+    (crates/moe/src/surrogates.rs:266-422)."""
+    from .gp.sgp import SgpModel
+
     experts = []
     for e in mix.experts:
+        if isinstance(e, SgpModel):
+            experts.append({
+                "type": "sgp",
+                "corr": e.corr,
+                "method": e.method,
+                "arrays": {
+                    k: _arr(getattr(e, k))
+                    for k in ("theta", "sigma2", "noise", "z", "w_vec",
+                              "w_inv", "likelihood")
+                },
+                "w_star": None if e.w_star is None else _arr(e.w_star),
+            })
+            continue
         experts.append({
+            "type": "gp",
             "corr": e.corr,
             "trend": e.trend,
             "arrays": {
@@ -314,14 +334,26 @@ def _serialize_mixture(mix: GpMixture, training) -> dict:
 
 
 def _deserialize_mixture(payload: dict):
+    from .gp.sgp import SgpModel
+
     experts = []
     for e in payload["experts"]:
         arrays = {
             k: jnp.asarray(v) for k, v in e["arrays"].items()
         }
+        w_star = (
+            None if e["w_star"] is None else jnp.asarray(e["w_star"])
+        )
+        # entries without a type tag predate the registry: dense GP
+        if e.get("type", "gp") == "sgp":
+            experts.append(SgpModel(
+                w_star=w_star, corr=e["corr"], method=e["method"],
+                **arrays,
+            ))
+            continue
         arrays["mask"] = arrays["mask"].astype(bool)
         experts.append(GpModel(
-            w_star=None if e["w_star"] is None else jnp.asarray(e["w_star"]),
+            w_star=w_star,
             corr=e["corr"],
             trend=e["trend"],
             **arrays,

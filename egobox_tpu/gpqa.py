@@ -16,6 +16,54 @@ import argparse
 import sys
 
 
+def _load_recorder(path: str):
+    """Load an EGOR_USE_GP_RECORDER dump — the pickled batched GpModel
+    pytree written by ego/recorders.record_gp_models — and reconstruct
+    each recorded surrogate's training data from its own state: the GLS
+    identity y_norm = F beta + R gamma (= F beta + L L^T gamma) recovers
+    the outputs exactly, so the reference workflow
+    EGOR_USE_GP_RECORDER=1 run -> `gpqa egor_gp_models.bin` connects
+    end-to-end (ref: crates/gpqa/src/main.rs:28-41 loading the bincode
+    model dumps). Returns a list of (label, x, y, fit_predict_hook) or
+    None if the file is not a recorder dump."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .gp.gp import GpModel
+    from .gp.trends import trend_basis
+    from .moe.metrics import gp_fit_predict
+
+    try:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+    except Exception:
+        return None
+    if not isinstance(payload, GpModel):
+        return None
+
+    m = payload.theta.shape[0]
+    out = []
+    for k in range(m):
+        e = jax.tree_util.tree_map(lambda a, _k=k: a[_k], payload)
+        keep = np.asarray(e.mask)
+        x_norm = jnp.asarray(e.x_norm)
+        x = np.asarray(x_norm * e.x_std + e.x_mean)[keep]
+        fx = trend_basis(e.trend, x_norm)
+        y_norm = fx @ e.beta + e.r_chol @ (e.r_chol.T @ e.gamma)
+        y = np.asarray(y_norm * e.y_std + e.y_mean)[keep]
+        kpls_dim = None if e.w_star is None else int(e.w_star.shape[1])
+        hook = gp_fit_predict(
+            corr=e.corr, trend=e.trend, kpls_dim=kpls_dim, n_start=3,
+            seed=0, max_iters=20,
+        )
+        label = "objective" if k == 0 else f"constraint_{k - 1}"
+        out.append((label, x, y, hook))
+    return out
+
+
 def assess(path: str, kfold=None):
     from .api import Gpx, SparseGpx
     from .moe.metrics import iae_alpha_with_plot, pva_score, q2_score
@@ -51,14 +99,20 @@ def assess(path: str, kfold=None):
             )
             return sgp_predict_valvar(m, jnp.asarray(x_test))
 
+    return _metrics(path, kind, x, y, fp, kfold)
+
+
+def _metrics(label, kind, x, y, fp, kfold):
+    from .moe.metrics import iae_alpha_with_plot, pva_score, q2_score
+
     q2 = q2_score(x, y, fp, kfold)
     pva = pva_score(x, y, fp, kfold)
     iae, alphas, coverage = iae_alpha_with_plot(x, y, fp, kfold)
 
     return {
-        "file": path,
+        "file": label,
         "kind": kind,
-        "n": n,
+        "n": x.shape[0],
         "kfold": kfold,
         "q2": q2,
         "pva": pva,
@@ -66,6 +120,22 @@ def assess(path: str, kfold=None):
         "alphas": alphas,
         "coverage": coverage,
     }
+
+
+def assess_all(path: str, kfold=None):
+    """One result per model in the file: recorder dumps hold the whole
+    surrogate set (objective + constraints); Gpx/SparseGpx saves hold
+    one."""
+    recorded = _load_recorder(path)
+    if recorded is not None:
+        results = []
+        for label, x, y, hook in recorded:
+            kf = kfold or min(x.shape[0], 10)
+            results.append(
+                _metrics(f"{path}:{label}", "EgorGP", x, y, hook, kf)
+            )
+        return results
+    return [assess(path, kfold)]
 
 
 def print_coverage_table(alphas, coverage, out=None):
@@ -101,17 +171,20 @@ def main(argv=None):
     print(header)
     print("-" * len(header))
     rc = 0
-    for i, path in enumerate(args.models):
+    first = True
+    for path in args.models:
         try:
-            r = assess(path, args.kfold)
-            print(
-                f"{r['file']:<32} {r['kind']:<10} {r['n']:>5} "
-                f"{r['q2']:>8.4f} {r['pva']:>8.4f} {r['iae_alpha']:>8.4f}"
-            )
-            if i == 0:
-                # per-alpha coverage table for the first model, like the
-                # reference CLI (gpqa/src/main.rs:41-60)
-                print_coverage_table(r["alphas"], r["coverage"])
+            for r in assess_all(path, args.kfold):
+                print(
+                    f"{r['file']:<32} {r['kind']:<10} {r['n']:>5} "
+                    f"{r['q2']:>8.4f} {r['pva']:>8.4f} "
+                    f"{r['iae_alpha']:>8.4f}"
+                )
+                if first:
+                    # per-alpha coverage table for the first model, like
+                    # the reference CLI (gpqa/src/main.rs:41-60)
+                    print_coverage_table(r["alphas"], r["coverage"])
+                    first = False
         except Exception as e:  # pragma: no cover
             print(f"{path:<32} ERROR: {e}", file=sys.stderr)
             rc = 1

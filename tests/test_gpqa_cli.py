@@ -53,3 +53,60 @@ def test_loo_q2_vmapped_single_compile():
 
     q2 = gpx.q2()  # LOO: kfold = n
     assert q2 > 0.9
+
+
+def test_gpqa_consumes_recorder_dump(tmp_path, monkeypatch, capsys):
+    """End-to-end reference workflow (VERDICT r2 item 5): Egor run with
+    EGOR_USE_GP_RECORDER=1 -> gpqa <outdir>/egor_gp_models.bin prints the
+    metrics + coverage table (ref: crates/gpqa/src/main.rs:28-60)."""
+    from egobox_tpu.gpqa import main as gpqa_main
+
+    monkeypatch.setenv("EGOR_USE_GP_RECORDER", "1")
+
+    def xsinx(x):
+        x = np.atleast_2d(x)
+        return ((x - 3.5) * np.sin((x - 3.5) / np.pi)).reshape(-1, 1)
+
+    egor = egx.Egor(
+        [[0.0, 25.0]], seed=42, outdir=str(tmp_path), n_doe=6,
+    )
+    egor.minimize(xsinx, max_iters=3)
+    dump = tmp_path / "egor_gp_models.bin"
+    assert dump.exists()
+
+    rc = gpqa_main([str(dump), "--kfold", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "objective" in out and "EgorGP" in out
+    assert "Empirical coverage" in out
+
+
+def test_recorder_training_data_reconstruction(tmp_path, monkeypatch):
+    """The GLS identity y = F beta + L L^T gamma must recover the recorded
+    surrogate's training outputs exactly."""
+    from egobox_tpu.gpqa import _load_recorder
+
+    monkeypatch.setenv("EGOR_USE_GP_RECORDER", "1")
+
+    def xsinx(x):
+        x = np.atleast_2d(x)
+        return ((x - 3.5) * np.sin((x - 3.5) / np.pi)).reshape(-1, 1)
+
+    egor = egx.Egor(
+        [[0.0, 25.0]], seed=7, outdir=str(tmp_path), n_doe=6,
+    )
+    res = egor.minimize(xsinx, max_iters=2)
+    entries = _load_recorder(str(tmp_path / "egor_gp_models.bin"))
+    assert entries is not None and len(entries) == 1
+    _, x, y, hook = entries[0]
+    # the recorded model was fitted on the DoE minus the last proposal
+    x_doe, y_doe = res.x_doe, res.y_doe
+    n = x.shape[0]
+    order = np.argsort(x.ravel())
+    ref_order = np.argsort(x_doe[:n].ravel())
+    np.testing.assert_allclose(
+        x.ravel()[order], x_doe[:n].ravel()[ref_order], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        y.ravel()[order], y_doe[:n, 0].ravel()[ref_order], rtol=1e-4
+    )

@@ -86,3 +86,38 @@ def test_recluster_reoptimizes(moe_solver_state):
     assert all(len(m.experts) >= 1 for m in models)
     assert state.clusterings[0][1] in (Recombination.HARD,
                                        Recombination.SMOOTH)
+
+
+def test_sparse_expert_mixture_roundtrip(tmp_path):
+    """Save/load parity across ALL expert types (VERDICT r2 item 6): a
+    mixture holding sparse-GP experts serializes with the typed expert
+    registry (ref typetag registry, crates/moe/src/surrogates.rs:266-422)
+    and predicts identically after a JSON and a binary round trip."""
+    import numpy as np
+
+    from egobox_tpu.api import Gpx
+    from egobox_tpu.gp.sgp import SgpModel
+    from egobox_tpu.moe.moe import train_moe
+
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 12, (80, 1)), axis=0)
+    y = _f(x).ravel()
+    mix = train_moe(
+        x, y, n_clusters=2, gp_type="sparse", n_inducing=15, n_start=3,
+        seed=0,
+    )
+    assert any(isinstance(e, SgpModel) for e in mix.experts)
+    gpx = Gpx(mix, (x, y[:, None]))
+    xq = rng.uniform(0, 12, (20, 1))
+    ref = gpx.predict(xq)
+
+    for name in ("m.json", "m.bin"):
+        path = str(tmp_path / name)
+        assert gpx.save(path)
+        loaded = Gpx.load(path)
+        np.testing.assert_allclose(
+            loaded.predict(xq), ref, rtol=1e-8, atol=1e-10
+        )
+        assert any(
+            isinstance(e, SgpModel) for e in loaded._mixture.experts
+        )
