@@ -90,6 +90,20 @@ class EgorBatch:
         B/D per chip with no cross-problem communication (the per-problem
         programs are independent; GSPMD partitions the vmapped iteration
         along the batch axis). B must be divisible by the mesh size."""
+        from ..types import XSpec
+        from .mixint import MixintContext, parse_xspecs
+
+        # mixed-integer portfolios: a shared XSpec list runs the same
+        # fold/unfold/cast transforms as the single-problem Egor along
+        # the batch axis (ref mixint.rs; VERDICT r2 item 7)
+        self.mixint = None
+        if (
+            not isinstance(xlimits, np.ndarray)
+            and any(isinstance(s, XSpec) for s in xlimits)
+        ):
+            self.mixint = MixintContext(parse_xspecs(xlimits))
+            xlimits = self.mixint.continuous_xlimits()
+
         if callable(fobj):
             if n_problems is None:
                 xl = np.asarray(xlimits, dtype=float)
@@ -156,6 +170,28 @@ class EgorBatch:
                 f"n_problems={n_problems} must be divisible by the "
                 f"{mesh.devices.size}-device mesh"
             )
+        # per-problem convergence (ref retry-then-converge semantics,
+        # solver_impl.rs:505-515): converged slots stop proposing/
+        # evaluating instead of degrading to random fill
+        from .config import MAX_POINT_ADDITION_RETRY
+
+        self._max_retries = MAX_POINT_ADDITION_RETRY
+        self.converged = np.zeros(n_problems, dtype=bool)
+        self._retries = np.full(n_problems, self._max_retries)
+
+    def _cast(self, x: np.ndarray) -> np.ndarray:
+        """Snap continuous-relaxed proposals onto valid discrete values
+        (B, nx) — identity for continuous portfolios."""
+        if self.mixint is None:
+            return x
+        return self.mixint.cast_continuous(np.atleast_2d(x))
+
+    def _to_user(self, x: np.ndarray) -> np.ndarray:
+        """Continuous layout -> user (folded/discrete) space for
+        objective evaluation; rows of a (n, nx) block."""
+        if self.mixint is None:
+            return x
+        return self.mixint.to_discrete_space(np.atleast_2d(x))
 
     def _shard(self, arr):
         """Place a (B, ...) array with the problem axis split over the
@@ -174,12 +210,15 @@ class EgorBatch:
         return sub
 
     def _eval(self, x: np.ndarray) -> np.ndarray:
-        """x (B, nx) -> y (B, 1 + n_cstr)."""
+        """x (B, nx) continuous layout -> y (B, 1 + n_cstr); the user's
+        objective sees the folded/discrete space (mixint parity with
+        Egor._wrap_fun)."""
+        xu = self._to_user(x)
         if self._fobj_batched is not None:
-            y = np.asarray(self._fobj_batched(x), dtype=float)
+            y = np.asarray(self._fobj_batched(xu), dtype=float)
             return y.reshape(self.n_problems, 1 + self.config.n_cstr)
         rows = [
-            np.asarray(f(x[b][None, :]), dtype=float).reshape(-1)
+            np.asarray(f(xu[b][None, :]), dtype=float).reshape(-1)
             for b, f in enumerate(self._fobjs)
         ]
         return np.stack(rows)
@@ -190,7 +229,9 @@ class EgorBatch:
             cols = [self._eval(x[:, i]) for i in range(x.shape[1])]
             return np.stack(cols, axis=1)
         return np.stack([
-            np.atleast_2d(np.asarray(f(x[b]), dtype=float))
+            np.atleast_2d(
+                np.asarray(f(self._to_user(x[b])), dtype=float)
+            )
             for b, f in enumerate(self._fobjs)
         ])
 
@@ -210,7 +251,10 @@ class EgorBatch:
             pts.append(np.asarray(u) * (hi - lo) + lo)
         return np.stack(pts)  # (B, n, nx)
 
-    def _pad(self, x: np.ndarray, y: np.ndarray):
+    def _pad(self, x: np.ndarray, y: np.ndarray, n_active=None):
+        """Pad to the shape bucket; ``n_active`` (B,) marks each problem's
+        live prefix (converged problems stop growing theirs, so their
+        surrogates ignore the frozen placeholder rows)."""
         B, n = x.shape[:2]
         nb = _bucket(n, self.config.shape_bucket)
         xp = np.zeros((B, nb, x.shape[2]))
@@ -218,15 +262,22 @@ class EgorBatch:
         yp = np.zeros((B, nb, y.shape[2]))
         yp[:, :n] = y
         mask = np.zeros((B, nb), dtype=bool)
-        mask[:, :n] = True
+        if n_active is None:
+            mask[:, :n] = True
+        else:
+            for b in range(B):
+                mask[b, : int(n_active[b])] = True
         return jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(mask)
 
     # ------------------------------------------------------------------
 
-    def _propose(self, x_data: np.ndarray, y_data: np.ndarray, theta0s):
+    def _propose(self, x_data: np.ndarray, y_data: np.ndarray, theta0s,
+                 n_active=None):
         """One batched selection step: (B, n, .) histories -> (B, nx) next
         points (de-duplicated, writable) + the fitted thetas (on device,
-        fed back as warm starts)."""
+        fed back as warm starts). ``n_active`` (B,) limits each problem's
+        live prefix (rows beyond it are frozen placeholders of converged
+        problems)."""
         cfg = self.config
         gpc = cfg.gp_config
         B = self.n_problems
@@ -243,12 +294,15 @@ class EgorBatch:
         lo_all = jnp.asarray(self.xlimits[:, :, 0], dtype)
         hi_all = jnp.asarray(self.xlimits[:, :, 1], dtype)
 
-        xp, yp, mask = self._pad(x_data, y_data)
+        if n_active is None:
+            n_active = np.full(B, x_data.shape[1])
+        xp, yp, mask = self._pad(x_data, y_data, n_active)
         theta0s = jnp.clip(theta0s, t_lo[None, None], t_up[None, None])
 
         best_idx = [
             find_best_result_index(
-                y_data[b], np.zeros((y_data.shape[1], 0)), cstr_tol
+                y_data[b, : int(n_active[b])],
+                np.zeros((int(n_active[b]), 0)), cstr_tol,
             )
             for b in range(B)
         ]
@@ -263,8 +317,8 @@ class EgorBatch:
         starts = np.stack([
             np.clip(
                 middle_picker_starts(
-                    self._rngs[b], x_data[b], self.xlimits[b],
-                    cfg.n_start,
+                    self._rngs[b], x_data[b, : int(n_active[b])],
+                    self.xlimits[b], cfg.n_start,
                     lambda n, _b=b: pool[_b][:n],
                 ),
                 self.xlimits[b, :, 0], self.xlimits[b, :, 1],
@@ -297,22 +351,36 @@ class EgorBatch:
         arr = np.asarray(packed)  # single host fetch per iteration
         # writable copy: the de-dup branch below replaces rows, and a
         # view of the fetched device buffer is read-only
-        x_new = np.array(arr[:, : self.nx])
+        x_new = self._cast(np.array(arr[:, : self.nx]))
 
-        # de-dup: replace duplicate/non-finite proposals with a random
-        # point so every problem adds exactly one point per iteration
-        # (keeps the batch shape uniform; cf. the reference's retry
-        # loop, solver_impl.rs:505-515)
+        # de-dup with retry-then-converge semantics (ref retry loop,
+        # solver_impl.rs:505-515): a duplicate/non-finite proposal first
+        # retries with a random point; after MAX_POINT_ADDITION_RETRY
+        # consecutive failures the problem is marked converged and stops
+        # proposing (the random point keeps THIS iteration's batch shape;
+        # the minimize loop freezes converged slots from the next one)
         for b in range(B):
-            d = np.sum(np.abs(x_data[b] - x_new[b][None, :]), axis=1)
+            if self.converged[b]:
+                continue
+            na = int(n_active[b])
+            d = np.sum(
+                np.abs(x_data[b, :na] - x_new[b][None, :]), axis=1
+            )
             if not np.all(np.isfinite(x_new[b])) or np.any(
                 d < 100.0 * np.finfo(float).eps
             ):
+                self._retries[b] -= 1
+                if self._retries[b] <= 0:
+                    self.converged[b] = True
+                    continue
                 u = self._rngs[b].uniform(size=self.nx)
-                x_new[b] = (
-                    self.xlimits[b, :, 0]
-                    + u * (self.xlimits[b, :, 1] - self.xlimits[b, :, 0])
-                )
+                x_new[b] = self._cast(
+                    (self.xlimits[b, :, 0]
+                     + u * (self.xlimits[b, :, 1]
+                            - self.xlimits[b, :, 0]))[None, :]
+                )[0]
+            else:
+                self._retries[b] = self._max_retries
         return x_new, models.theta
 
     def suggest(self, x_doe: np.ndarray, y_doe: np.ndarray) -> np.ndarray:
@@ -342,13 +410,31 @@ class EgorBatch:
         dtype = default_dtype()
         cstr_tol = cfg.resolved_cstr_tol(0)
 
-        x_data = self._init_doe()  # (B, n, nx)
+        x_data = self._cast_doe(self._init_doe())  # (B, n, nx)
         y_data = self._eval_doe(x_data)  # (B, n, m)
         theta0s = jnp.full((B, m, self._dim), 0.1, dtype=dtype)
+        n_active = np.full(B, x_data.shape[1])
 
         for _ in range(max_iters):
-            x_new, theta0s = self._propose(x_data, y_data, theta0s)
+            if self.converged.all():
+                break
+            x_new, theta0s = self._propose(
+                x_data, y_data, theta0s, n_active
+            )
+            # converged problems stop evaluating: their slot carries the
+            # incumbent best forward (frozen placeholder, masked out of
+            # the surrogate fits) instead of a random-search point
+            frozen = {}
+            for b in np.nonzero(self.converged)[0]:
+                i = find_best_result_index(
+                    y_data[b, : int(n_active[b])],
+                    np.zeros((int(n_active[b]), 0)), cstr_tol,
+                )
+                x_new[b] = x_data[b, i]
+                frozen[b] = y_data[b, i]
             y_new = self._eval(x_new)
+            for b, yb in frozen.items():  # no re-evaluation noise
+                y_new[b] = yb
             bad = ~np.isfinite(y_new)
             if bad.any():
                 worst = np.nanmax(
@@ -358,17 +444,26 @@ class EgorBatch:
                 y_new = np.where(bad, worst, y_new)
             x_data = np.concatenate([x_data, x_new[:, None]], axis=1)
             y_data = np.concatenate([y_data, y_new[:, None]], axis=1)
+            n_active = np.where(
+                self.converged, n_active, x_data.shape[1]
+            )
 
         results = []
         for b in range(B):
+            na = int(n_active[b])
             i = find_best_result_index(
-                y_data[b], np.zeros((y_data.shape[1], 0)), cstr_tol
+                y_data[b, :na], np.zeros((na, 0)), cstr_tol
             )
             results.append(OptimResult(
-                x_opt=x_data[b, i],
+                x_opt=self._to_user(x_data[b, i][None, :])[0],
                 y_opt=y_data[b, i],
-                x_doe=x_data[b],
-                y_doe=y_data[b],
+                x_doe=self._to_user(x_data[b, :na]),
+                y_doe=y_data[b, :na],
             ))
         return results
+
+    def _cast_doe(self, x: np.ndarray) -> np.ndarray:
+        if self.mixint is None:
+            return x
+        return np.stack([self._cast(x[b]) for b in range(x.shape[0])])
 

