@@ -48,6 +48,7 @@ def minimize_lbfgsb(
     fun_and_res: Callable = None,
     grad_from_res: Callable = None,
     ls_batch: int = 0,
+    final_grad: bool = True,
 ) -> LbfgsbResult:
     """Minimize ``fun`` (scalar) over the box [lower, upper].
 
@@ -61,6 +62,13 @@ def minimize_lbfgsb(
     directly, saving one full forward per iteration vs value_and_grad.
     The residual pytree rides the solver's while_loop carry (static
     shapes).
+
+    ``final_grad=False`` skips the gradient evaluation on the LAST allowed
+    iteration: the result consumer discards gradients (only x/fun are
+    returned), so when the objective's adjoint is expensive (the GP
+    likelihood's O(n^3) trace term) the final grad is pure waste. The
+    stale gradient only feeds the convergence check of an iteration that
+    terminates regardless; lanes stopping earlier are unaffected.
 
     ``ls_batch > 1`` switches to a SPECULATIVE PARALLEL line search: all
     ``ls_batch`` backtracking step sizes (1, 1/2, 1/4, ...) are evaluated
@@ -136,7 +144,7 @@ def minimize_lbfgsb(
         r, _ = lax.scan(bwd, r, (order[::-1], alphas[::-1]))
         return r
 
-    def line_search_parallel(x, f, res, g, direction):
+    def line_search_parallel(x, f, res, g, direction, need_grad):
         """Speculative parallel backtracking: evaluate all ls_batch
         alphas in one vmapped forward, accept the largest alpha passing
         Armijo — the same point sequential backtracking accepts whenever
@@ -189,11 +197,16 @@ def minimize_lbfgsb(
         res_new = jax.tree_util.tree_map(
             lambda a, b: jnp.where(improved, a, b), res_new, res
         )
-        g_new = grad_from_res(x_new, res_new)
-        g_new = jnp.where(improved, g_new, g)
+        g_new = lax.cond(
+            need_grad,
+            lambda: jnp.where(
+                improved, grad_from_res(x_new, res_new), g
+            ),
+            lambda: g,
+        )
         return x_new, f_new, res_new, g_new, improved
 
-    def line_search(x, f, res, g, direction):
+    def line_search(x, f, res, g, direction, need_grad):
         """Armijo backtracking along the projected path x(a)=clip(x+a*d).
 
         Value-only trials: the gradient (which may carry an expensive
@@ -227,8 +240,13 @@ def minimize_lbfgsb(
         res_new = jax.tree_util.tree_map(
             lambda a, b: jnp.where(improved, a, b), res_new, res
         )
-        g_new = grad_from_res(x_new, res_new)
-        g_new = jnp.where(improved, g_new, g)
+        g_new = lax.cond(
+            need_grad,
+            lambda: jnp.where(
+                improved, grad_from_res(x_new, res_new), g
+            ),
+            lambda: g,
+        )
         return x_new, f_new, res_new, g_new, improved
 
     def step(state):
@@ -239,8 +257,11 @@ def minimize_lbfgsb(
         direction = jnp.where(descent, direction, -g)
 
         ls = line_search_parallel if ls_batch > 1 else line_search
+        need_grad = (
+            jnp.asarray(True) if final_grad else ((it + 1) < max_iters)
+        )
         x_new, f_new, res_new, g_new, improved = ls(
-            x, f, res, g, direction
+            x, f, res, g, direction, need_grad
         )
         g_new = jnp.where(jnp.isfinite(g_new), g_new, 0.0)
 
