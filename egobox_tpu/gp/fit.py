@@ -147,7 +147,7 @@ def _warmstart_theta(
     jax.jit,
     static_argnames=(
         "corr", "trend", "kpls_dim", "n_start", "max_iters", "fixed",
-        "ls_batch",
+        "ls_batch", "residual_api",
     ),
 )
 def fit_gp_core(
@@ -168,6 +168,7 @@ def fit_gp_core(
     fixed: bool = False,
     nugget: float = 0.0,
     ls_batch: int = 0,
+    residual_api: bool = False,
 ) -> GpModel:
     n, nx = x.shape
     dtype = x.dtype
@@ -204,42 +205,75 @@ def fit_gp_core(
             inits = t0[None, :]
 
         # objective with analytic adjoint (no autodiff through Cholesky).
-        # NOTE: a residual-reuse variant (make_neg_rlf_residual_api) that
-        # carries the accepted trial's factorization through the L-BFGS
-        # loop was measured SLOWER on v5e at n=10k (loop-carry copies of
-        # the (n, n) buffer outweigh the saved forward) — the fused
-        # value_and_grad below lets XLA CSE the Gram between fwd and bwd
-        # instead.
-        neg_rlf_theta = make_neg_reduced_likelihood(
-            corr, trend, x_norm, y_norm, y_std, w_star, nugget, mask
-        )
+        # Two routings with identical math:
+        # - value_and_grad (default): XLA fuses fwd+bwd into one program
+        #   per gradient call — best for the many-iteration multistart
+        #   phase (measured round 2);
+        # - residual_api=True: line-search trials are value-only forwards
+        #   and the accepted trial's factorization feeds the adjoint
+        #   directly. On v5e at n=10k the fused value_and_grad costs
+        #   295 ms vs 62 (fwd) + 114 (adjoint-from-residuals) — the
+        #   fusion RECOMPUTES the forward inside the bwd — so the
+        #   few-iteration polish phase routes here (~300 ms saved per
+        #   gradient).
+        if residual_api:
+            fun_and_res, grad_from_res = make_neg_rlf_residual_api(
+                corr, trend, x_norm, y_norm, y_std, w_star, nugget, mask
+            )
+            solve = lambda t: minimize_lbfgsb(  # noqa: E731
+                lambda tt: fun_and_res(tt)[0], t, lo, up,
+                max_iters=max_iters, ls_batch=ls_batch,
+                fun_and_res=fun_and_res, grad_from_res=grad_from_res,
+                final_grad=False,
+            )
+        else:
+            neg_rlf_theta = make_neg_reduced_likelihood(
+                corr, trend, x_norm, y_norm, y_std, w_star, nugget, mask
+            )
 
-        def neg_rlf(t_log10):
-            return neg_rlf_theta(10.0**t_log10)
+            def neg_rlf(t_log10):
+                return neg_rlf_theta(10.0**t_log10)
 
-        # final_grad=False: the solve's gradients are discarded after
-        # argmin — skipping the last iteration's O(n^3) adjoint saves a
-        # full trace-term evaluation per restart (biggest effect on the
-        # short polish phase of the multi-fidelity n=10k fit)
-        solve = lambda t: minimize_lbfgsb(  # noqa: E731
-            neg_rlf, t, lo, up, max_iters=max_iters, ls_batch=ls_batch,
-            final_grad=False,
-        )
+            # final_grad=False: the solve's gradients are discarded after
+            # argmin — skipping the last iteration's O(n^3) adjoint saves
+            # a full trace-term evaluation per restart
+            solve = lambda t: minimize_lbfgsb(  # noqa: E731
+                neg_rlf, t, lo, up, max_iters=max_iters,
+                ls_batch=ls_batch, final_grad=False,
+            )
 
         res = jax.vmap(solve)(inits)
         best = jnp.argmin(res.fun)
         theta_opt = 10.0 ** res.x[best]
+        if residual_api:
+            # the winning lane's residuals ARE the final model state — no
+            # closing forward needed (saves one O(n^3) factorization)
+            _, rlf, inner = jax.tree_util.tree_map(
+                lambda a: a[best], res.res
+            )
+            return _model_from_inner(
+                x_norm, x_mean, x_std, y_mean, y_std, theta_opt, w_star,
+                inner, rlf, mask, corr, trend,
+            )
 
     rlf, inner = reduced_likelihood(
         corr, trend, x_norm, y_norm, y_std, theta_opt, w_star, nugget, mask
     )
+    return _model_from_inner(
+        x_norm, x_mean, x_std, y_mean, y_std, theta_opt, w_star, inner,
+        rlf, mask, corr, trend,
+    )
+
+
+def _model_from_inner(x_norm, x_mean, x_std, y_mean, y_std, theta, w_star,
+                      inner, rlf, mask, corr, trend) -> GpModel:
     return GpModel(
         x_norm=x_norm,
         x_mean=x_mean,
         x_std=x_std,
         y_mean=y_mean,
         y_std=y_std,
-        theta=theta_opt,
+        theta=theta,
         w_star=w_star,
         beta=inner.beta,
         gamma=inner.gamma,
@@ -272,6 +306,7 @@ def fit_gp(
     active=None,
     subsample_warmstart: Optional[int] = None,
     polish_iters: int = 3,
+    rank_warmstart: Optional[int] = None,
     mesh=None,
     dist_bp: Optional[int] = None,
 ) -> GpModel:
@@ -376,7 +411,8 @@ def fit_gp(
         # the subsample likelihood misranks theta basins; the rank pass
         # picks the restart that is best on MORE data before the O(n^3)
         # polish commits to a basin
-        r = min(n, max(2 * subsample_warmstart, 5000))
+        r = rank_warmstart or min(n, max(2 * subsample_warmstart, 5000))
+        r = min(n, max(r, subsample_warmstart))
         ridx = perm[:r]
         theta_warm = _warmstart_theta(
             x[idx], y[idx], x[ridx], y[ridx], theta0, bounds_lo,
@@ -388,6 +424,9 @@ def fit_gp(
         theta0 = jnp.clip(theta_warm, bounds_lo, bounds_up)
         n_start = 0
         max_iters = polish_iters
+        polish_residual = True
+    else:
+        polish_residual = False
 
     # nugget-escalation retry: if the optimum lands where the f32/f64
     # Cholesky fails (likelihood -inf), refit with a 100x larger nugget.
@@ -400,6 +439,7 @@ def fit_gp(
             x, y, mask, theta0, bounds_lo, bounds_up, active_mask, key,
             corr=corr, trend=trend, kpls_dim=kpls_dim, n_start=n_start,
             max_iters=max_iters, fixed=theta_fixed, nugget=nugget,
+            residual_api=polish_residual,
         )
         if bool(jnp.isfinite(model.likelihood)):
             return model

@@ -294,14 +294,18 @@ def make_neg_rlf_residual_api(
         rlf, inner = reduced_likelihood(
             corr, trend, x_norm, y_norm, y_std, theta, w_star, nugget, mask
         )
-        sigma2_norm = inner.sigma2 / (y_std.reshape(()) ** 2)
-        return -rlf, (theta, inner.r_chol, inner.gamma, sigma2_norm)
+        # res carries the FULL inner params (not just the adjoint inputs)
+        # so the caller can also reuse the accepted point's factorization
+        # as the final model state (fit_gp_core residual_api path) — the
+        # extra leaves (beta/ft/qr) are O(n p), negligible in the carry.
+        return -rlf, (theta, rlf, inner)
 
     def grad_from_res(t_log10, res):
-        theta, l_chol, gamma, sigma2_norm = res
+        theta, _rlf, inner = res
+        sigma2_norm = inner.sigma2 / (y_std.reshape(()) ** 2)
         dphi = _grad_trace_core(
-            corr, x_norm, w_star, nugget, mask, theta, l_chol, gamma,
-            sigma2_norm,
+            corr, x_norm, w_star, nugget, mask, theta, inner.r_chol,
+            inner.gamma, sigma2_norm,
         )
         # d(-rlf)/dtheta = dphi/ln10; through theta = 10^t the ln10 cancels:
         # d(-rlf)/dt = dphi * theta

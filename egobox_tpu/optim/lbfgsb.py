@@ -29,6 +29,11 @@ class LbfgsbResult(NamedTuple):
     fun: jnp.ndarray
     n_iters: jnp.ndarray
     converged: jnp.ndarray
+    #: residual pytree of the accepted final point when the objective was
+    #: given as fun_and_res/grad_from_res (else an empty tuple) — lets
+    #: callers reuse the last factorization instead of recomputing a
+    #: forward at res.x
+    res: object = ()
 
 
 def _sanitize(f):
@@ -291,7 +296,8 @@ def minimize_lbfgsb(
     final = lax.while_loop(cond, step, init)
     x, f = final[0], final[1]
     it, done = final[9], final[10]
-    return LbfgsbResult(x=x, fun=f, n_iters=it, converged=done)
+    return LbfgsbResult(x=x, fun=f, n_iters=it, converged=done,
+                        res=final[2])
 
 
 def multistart_minimize(fun, x0s, lower, upper, **kw):

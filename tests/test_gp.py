@@ -89,27 +89,45 @@ def test_masked_fit_matches_unpadded():
     x = rng.uniform(0, 10, (9, 2))
     y = np.sin(x[:, 0]) + 0.5 * x[:, 1]
 
-    m_ref = gp.fit_gp(jnp.asarray(x), jnp.asarray(y), n_start=3)
-
     x_pad = np.vstack([x, np.full((7, 2), 123.0)])
     y_pad = np.concatenate([y, np.full(7, -99.0)])
     mask = np.concatenate([np.ones(9, bool), np.zeros(7, bool)])
+    xq = jnp.asarray(rng.uniform(0, 10, (6, 2)))
+
+    # 1) the masking contract in isolation: at a FIXED theta the padded
+    #    model must be numerically indistinguishable from the unpadded one
+    theta = np.array([0.3, 0.7])
+    f_ref = gp.fit_gp(jnp.asarray(x), jnp.asarray(y), theta_init=theta,
+                      theta_fixed=True)
+    f_pad = gp.fit_gp(jnp.asarray(x_pad), jnp.asarray(y_pad),
+                      mask=jnp.asarray(mask), theta_init=theta,
+                      theta_fixed=True)
+    np.testing.assert_allclose(
+        np.asarray(gp.predict(f_ref, xq)),
+        np.asarray(gp.predict(f_pad, xq)), rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        float(f_ref.likelihood), float(f_pad.likelihood), rtol=1e-10
+    )
+
+    # 2) through the optimizer: different static shapes fuse differently,
+    #    so the two MLE trajectories stop at fp-separated points in the
+    #    same basin — model outputs agree to optimizer-noise tolerance
+    m_ref = gp.fit_gp(jnp.asarray(x), jnp.asarray(y), n_start=3)
     m_pad = gp.fit_gp(jnp.asarray(x_pad), jnp.asarray(y_pad),
                       mask=jnp.asarray(mask), n_start=3)
-
-    xq = jnp.asarray(rng.uniform(0, 10, (6, 2)))
     np.testing.assert_allclose(
         np.asarray(gp.predict(m_ref, xq)),
         np.asarray(gp.predict(m_pad, xq)),
-        rtol=1e-6, atol=1e-8,
+        rtol=1e-4, atol=1e-6,
     )
     np.testing.assert_allclose(
         np.asarray(gp.predict_var(m_ref, xq)),
         np.asarray(gp.predict_var(m_pad, xq)),
-        rtol=1e-6, atol=1e-10,
+        rtol=1e-3, atol=1e-8,
     )
     np.testing.assert_allclose(
-        float(m_ref.likelihood), float(m_pad.likelihood), rtol=1e-8
+        float(m_ref.likelihood), float(m_pad.likelihood), rtol=1e-6
     )
 
 
