@@ -13,9 +13,9 @@ q_points=1, continuous variables. Problems share nx, n_cstr, and the
 iteration budget; xlimits may differ per problem (they are traced values).
 
 Known divergences from the single-problem solver (documented, by design):
-- ``q_optmod`` theta-thinning and the EGOR_USE_MAX_PROBA_OF_FEASIBILITY
-  feasibility-first search are not threaded through the batched call —
-  every iteration re-optimizes theta and searches the standard criterion.
+- the EGOR_USE_MAX_PROBA_OF_FEASIBILITY feasibility-first search is not
+  threaded through the batched call (per-problem feasibility would need a
+  traced criterion switch); q_optmod theta-thinning IS honored.
 - Middle-picker LHS completion draws the first n rows of one precomputed
   n_start-point maximin pool per problem rather than a fresh n-point LHS
   (a truncated LHS has weaker stratification; acceptable for seed points,
@@ -272,7 +272,7 @@ class EgorBatch:
     # ------------------------------------------------------------------
 
     def _propose(self, x_data: np.ndarray, y_data: np.ndarray, theta0s,
-                 n_active=None):
+                 n_active=None, optimize_theta: bool = True):
         """One batched selection step: (B, n, .) histories -> (B, nx) next
         points (de-duplicated, writable) + the fitted thetas (on device,
         fed back as warm starts). ``n_active`` (B,) limits each problem's
@@ -341,7 +341,7 @@ class EgorBatch:
             self._shard(fmin), tols,
             corr=gpc.corr_names[0], trend=gpc.regr_names[0],
             kpls_dim=gpc.kpls_dim, gp_n_start=gpc.n_start,
-            gp_max_iters=gpc.max_eval, fixed=False,
+            gp_max_iters=gpc.max_eval, fixed=not optimize_theta,
             nugget=GpSpec().nugget,
             n_cloud=min(100 * self.nx, 1000), crit=crit,
             cstr_strategy=cstrat, n_cstr=cfg.n_cstr,
@@ -415,11 +415,15 @@ class EgorBatch:
         theta0s = jnp.full((B, m, self._dim), 0.1, dtype=dtype)
         n_active = np.full(B, x_data.shape[1])
 
-        for _ in range(max_iters):
+        for it in range(max_iters):
             if self.converged.all():
                 break
+            # q_optmod theta-thinning, same cadence as the single-problem
+            # solver (iterations between theta re-optimizations reuse the
+            # warm-started thetas with fixed=True)
             x_new, theta0s = self._propose(
-                x_data, y_data, theta0s, n_active
+                x_data, y_data, theta0s, n_active,
+                optimize_theta=(it % cfg.q_optmod == 0),
             )
             # converged problems stop evaluating: their slot carries the
             # incumbent best forward (frozen placeholder, masked out of

@@ -117,16 +117,19 @@ def _warmstart_theta(
     seeds = lo[None, :] + seeds * (up - lo)[None, :]
     inits = jnp.concatenate([t0[None, :], seeds], axis=0)
 
-    neg_rlf_theta = make_neg_reduced_likelihood(
+    # residual routing (value-only line-search trials, adjoint from the
+    # kept factorization): at subsample sizes the loop-carry of the
+    # (m, m) factor is cheap and the 2.4x value_and_grad recompute
+    # overhead dominates instead
+    fun_and_res, grad_from_res = make_neg_rlf_residual_api(
         corr, trend, xs_norm, ys_norm, ys_std, w_sub, nugget, None
     )
 
-    def neg_rlf(t_log10):
-        return neg_rlf_theta(10.0**t_log10)
-
     res = jax.vmap(
         lambda t: minimize_lbfgsb(
-            neg_rlf, t, lo, up, max_iters=max_iters, ls_batch=ls_batch,
+            lambda tt: fun_and_res(tt)[0], t, lo, up,
+            max_iters=max_iters, ls_batch=ls_batch,
+            fun_and_res=fun_and_res, grad_from_res=grad_from_res,
             final_grad=False,
         )
     )(inits)
@@ -398,6 +401,7 @@ def fit_gp(
         theta0 = jnp.clip(theta_dist, bounds_lo, bounds_up)
         theta_fixed = True
 
+    polish_residual = False
     if (
         subsample_warmstart
         and not theta_fixed
@@ -405,28 +409,41 @@ def fit_gp(
         and bool(jnp.all(mask))
     ):
         ksub, key = jax.random.split(key)
-        perm = jax.random.permutation(ksub, n)
-        idx = perm[:subsample_warmstart]
-        # candidate ranking on a larger subset (or everything at small n):
-        # the subsample likelihood misranks theta basins; the rank pass
-        # picks the restart that is best on MORE data before the O(n^3)
-        # polish commits to a basin
-        r = rank_warmstart or min(n, max(2 * subsample_warmstart, 5000))
-        r = min(n, max(r, subsample_warmstart))
-        ridx = perm[:r]
-        theta_warm = _warmstart_theta(
-            x[idx], y[idx], x[ridx], y[ridx], theta0, bounds_lo,
-            bounds_up, key,
-            corr=corr, trend=trend, kpls_dim=kpls_dim,
-            n_start=max(n_start, 3), max_iters=max(max_iters, 8),
-            nugget=nugget,
-        )
-        theta0 = jnp.clip(theta_warm, bounds_lo, bounds_up)
+        if rank_warmstart:
+            # opt-in candidate ranking: the subsample likelihood misranks
+            # theta basins, so re-rank all restarts on a larger subset
+            # before the polish commits to a basin (improves worst-case
+            # quality ~2.4% -> ~2.1% on the n=10k bench problem at
+            # +0.4-0.6 s — quality-over-speed mode)
+            perm = jax.random.permutation(ksub, n)
+            idx = perm[:subsample_warmstart]
+            r = min(n, max(rank_warmstart, subsample_warmstart))
+            ridx = perm[:r]
+            theta_warm = _warmstart_theta(
+                x[idx], y[idx], x[ridx], y[ridx], theta0, bounds_lo,
+                bounds_up, key,
+                corr=corr, trend=trend, kpls_dim=kpls_dim,
+                n_start=max(n_start, 3), max_iters=max(max_iters, 8),
+                nugget=nugget,
+            )
+            theta0 = jnp.clip(theta_warm, bounds_lo, bounds_up)
+            polish_residual = True
+        else:
+            # default recipe (round-2 measured fastest end-to-end on v5e:
+            # ~0.9 s total at n=10k): best-of-multistart on the subsample
+            # via the fused value_and_grad route, then polish
+            idx = jax.random.permutation(ksub, n)[:subsample_warmstart]
+            sub_mask = jnp.ones((subsample_warmstart,), dtype=bool)
+            m0 = fit_gp_core(
+                x[idx], y[idx], sub_mask, theta0, bounds_lo, bounds_up,
+                active_mask, key,
+                corr=corr, trend=trend, kpls_dim=kpls_dim,
+                n_start=n_start, max_iters=max_iters, fixed=False,
+                nugget=nugget,
+            )
+            theta0 = jnp.clip(m0.theta, bounds_lo, bounds_up)
         n_start = 0
         max_iters = polish_iters
-        polish_residual = True
-    else:
-        polish_residual = False
 
     # nugget-escalation retry: if the optimum lands where the f32/f64
     # Cholesky fails (likelihood -inf), refit with a 100x larger nugget.
