@@ -396,7 +396,9 @@ class EgorSolver:
         EGOBOX_NO_FCSTR_TRACE."""
         if os.environ.get("EGOBOX_NO_FCSTR_TRACE"):
             return False
-        key = tuple(id(f) for f in fcstrs)
+        # key by the function OBJECTS (kept alive by the cache), not ids —
+        # a dropped lambda's id gets recycled and would alias cache hits
+        key = tuple(fcstrs)
         hit = self._fcstr_trace_cache.get(key)
         if hit is not None:
             return hit
