@@ -82,22 +82,16 @@ def assess(path: str, kfold=None):
     if kind == "Gpx":
         fp = gpx._fit_predict_hook()
     else:
-        import jax.numpy as jnp
-        from .gp.sgp import fit_sgp, sgp_predict_valvar
+        # vmapped batched protocol: ALL SGP fold-refits run as one
+        # program (moe/metrics.sgp_fit_predict; the reference refits
+        # sequentially, moe/src/metrics.rs)
+        from .moe.metrics import sgp_fit_predict
 
         model = gpx._model
-
-        def fp(xx, yy, mask, x_test):
-            import numpy as np
-
-            keep = np.asarray(mask)
-            m = fit_sgp(
-                jnp.asarray(xx[keep]), jnp.asarray(yy[keep]),
-                corr=model.corr, method=model.method,
-                n_inducing=min(model.z.shape[0], int(keep.sum())),
-                n_start=3, max_iters=20,
-            )
-            return sgp_predict_valvar(m, jnp.asarray(x_test))
+        fp = sgp_fit_predict(
+            corr=model.corr, method=model.method,
+            n_inducing=model.z.shape[0],
+        )
 
     return _metrics(path, kind, x, y, fp, kfold)
 

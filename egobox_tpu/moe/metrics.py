@@ -194,3 +194,74 @@ def gp_fit_predict(corr: str = "squared_exponential",
 
     fp.batched = True
     return fp
+
+
+def sgp_fit_predict(corr: str = "squared_exponential",
+                    method: str = "FITC", n_inducing: int = 10,
+                    n_start: int = 5, max_iters: int = 25,
+                    seed: int = 0) -> Callable:
+    """Batched fit_predict hook for a SPARSE GP: the k fold-refits run as
+    ONE vmapped program (closes the round-2 weak spot where SGP QA folds
+    were a sequential host loop — the reference also refits sequentially,
+    moe/src/metrics.rs). The SGP fit has no masked path, so each fold's
+    training subset is gathered into a (k, n_tr, d) stack with n_tr =
+    the smallest fold size — unequal folds lose at most one training
+    point each, which is noise at QA fidelity. Inducing points are drawn
+    per fold from that fold's training rows."""
+    import jax
+
+    from ..gp.sgp import (
+        SGP_NOISE_BOUNDS_EPS_FACTOR,
+        SGP_NOISE_INIT,
+        SGP_NOISE_UPPER,
+        SGP_THETA_BOUNDS,
+        fit_sgp_core,
+        sgp_predict_valvar,
+    )
+
+    def hook(x, y, masks):
+        x = jnp.asarray(np.atleast_2d(np.asarray(x, dtype=float)))
+        yv = np.asarray(y, dtype=float).ravel()
+        masks = np.asarray(masks, dtype=bool)
+        k, n = masks.shape
+        d = x.shape[1]
+        dtype = x.dtype
+        n_tr = int(masks.sum(axis=1).min())
+        idx = np.stack([np.nonzero(m)[0][:n_tr] for m in masks])
+        xtr = x[idx]  # (k, n_tr, d)
+        ytr = jnp.asarray(yv)[idx][..., None]  # (k, n_tr, 1)
+
+        m = min(n_inducing, n_tr)
+        rng = np.random.default_rng(seed)
+        zidx = np.stack([rng.permutation(n_tr)[:m] for _ in range(k)])
+        z = xtr[np.arange(k)[:, None], zidx]  # (k, m, d)
+
+        theta0 = jnp.full((d,), 0.1, dtype)
+        lo = jnp.full((d,), SGP_THETA_BOUNDS[0], dtype)
+        up = jnp.full((d,), SGP_THETA_BOUNDS[1], dtype)
+        eps = float(jnp.finfo(dtype).eps)
+        noise0 = jnp.asarray(SGP_NOISE_INIT, dtype)
+        nb = (
+            jnp.asarray(SGP_NOISE_BOUNDS_EPS_FACTOR * eps, dtype),
+            jnp.asarray(SGP_NOISE_UPPER, dtype),
+        )
+        # split from one master key: raw key(i) seeds can produce
+        # degenerate maximin-LHS theta inits (measured: a 3-restart fit
+        # from key(0) landed 250 likelihood units below the optimum)
+        keys = jax.random.split(jax.random.key(seed), k)
+
+        def fit_one(xt, yt, zz, kk):
+            mdl = fit_sgp_core(
+                xt, yt, zz, theta0, lo, up, noise0, nb, kk,
+                corr=corr, method=method, n_start=n_start,
+                max_iters=max_iters, estimate_noise=True,
+                nugget=1000.0 * eps,
+            )
+            p, v = sgp_predict_valvar(mdl, x)
+            return p.reshape(-1), v.reshape(-1)
+
+        preds, vrs = jax.vmap(fit_one)(xtr, ytr, z, keys)
+        return np.asarray(preds), np.asarray(vrs)
+
+    hook.batched = True
+    return hook

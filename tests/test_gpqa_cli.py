@@ -110,3 +110,33 @@ def test_recorder_training_data_reconstruction(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         y.ravel()[order], y_doe[:n, 0].ravel()[ref_order], rtol=1e-4
     )
+
+
+def test_sgp_qa_folds_vmapped(tmp_path, capsys):
+    """SGP QA fold-refits run through the batched vmapped hook (round-3:
+    no per-fold host loop); the CLI still prints sane metrics for a
+    SparseGpx dump."""
+    from egobox_tpu.moe.metrics import sgp_fit_predict
+
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 10, (120, 1))
+    y = (x * np.sin(x)).ravel() + 0.05 * rng.standard_normal(120)
+
+    hook = sgp_fit_predict(n_inducing=15)
+    assert getattr(hook, "batched", False)
+    masks = np.ones((4, 120), dtype=bool)
+    for f in range(4):
+        masks[f, f::4] = False
+    preds, vrs = hook(x, y, masks)
+    assert preds.shape == (4, 120) and vrs.shape == (4, 120)
+    assert np.all(np.isfinite(preds)) and np.all(vrs >= 0)
+    # predictions on held-out points track the function
+    err = np.abs(preds[0][~masks[0]] - y[~masks[0]])
+    assert np.median(err) < 0.5
+
+    sgpx = egx.SparseGpMix(nz=15, seed=0).fit(x, y)
+    path = str(tmp_path / "sgp.json")
+    assert sgpx.save(path)
+    rc = main([path, "--kfold", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "SparseGpx" in out
