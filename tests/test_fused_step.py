@@ -137,3 +137,38 @@ def test_fused_qei_one_dispatch(monkeypatch):
     assert np.all(x_dat >= 0.0) and np.all(x_dat <= 25.0)
     assert abs(x_dat[0, 0] - x_dat[1, 0]) > 1e-8
     assert np.all(np.isfinite(y_dat))
+
+
+@pytest.mark.slow
+def test_g24_with_traceable_fcstrs():
+    """Reference accuracy golden solved entirely via USER function
+    constraints (ref: test_egor.py test_g24_with_fcstrs — the objective
+    is bare, both constraints are fcstrs): the traceable constraints
+    enter the fused in-program optimizer and must reach the constrained
+    optimum -5.508 at (2.3295, 3.1785)."""
+    from egobox_tpu import Egor
+
+    def g24_bare(point):
+        p = np.atleast_2d(point)
+        return (-p[:, 0] - p[:, 1]).reshape(-1, 1)
+
+    def g24_c1(x):
+        return (-2.0 * x[0] ** 4 + 8.0 * x[0] ** 3 - 8.0 * x[0] ** 2
+                + x[1] - 2.0)
+
+    def g24_c2(x):
+        return (-4.0 * x[0] ** 4 + 32.0 * x[0] ** 3 - 88.0 * x[0] ** 2
+                + 96.0 * x[0] + x[1] - 36.0)
+
+    n_doe, max_iters = 5, 20
+    egor = Egor(
+        [[0.0, 3.0], [0.0, 4.0]], seed=42, q_optmod=2, n_doe=n_doe,
+    )
+    assert egor.solver._fast_path_ok((g24_c1, g24_c2))
+    res = egor.minimize(g24_bare, fcstrs=[g24_c1, g24_c2],
+                        max_iters=max_iters)
+    assert res.y_opt[0] == pytest.approx(-5.5080, abs=5e-2)
+    assert res.x_opt[0] == pytest.approx(2.3295, abs=5e-2)
+    assert res.x_opt[1] == pytest.approx(3.1785, abs=5e-2)
+    assert res.x_doe.shape == (n_doe + max_iters, 2)
+    assert res.y_doe.shape == (n_doe + max_iters, 1)
