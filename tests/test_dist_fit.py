@@ -147,3 +147,36 @@ def test_fit_gp_mesh_matches_single_device(mesh):
     np.testing.assert_allclose(
         float(m_dist.likelihood), float(m_ref.likelihood), rtol=1e-4
     )
+
+
+def test_block_cyclic_perm_properties():
+    """feedperm is a permutation; device d's shard holds panels
+    d, d+D, 2D+d, ... of the elimination order, each contiguous."""
+    from egobox_tpu.parallel import block_cyclic_perm, pick_panel_size
+
+    for n, ndev in ((128, 8), (96, 4), (64, 2)):
+        bp = pick_panel_size(n, ndev)
+        assert n % (bp * ndev) == 0
+        perm = block_cyclic_perm(n, ndev, bp)
+        assert sorted(perm.tolist()) == list(range(n))
+        n_loc = n // ndev
+        for d in range(ndev):
+            shard = perm[d * n_loc:(d + 1) * n_loc]
+            pans = (shard // bp).reshape(-1, bp)
+            # each local panel is one global panel, owner cycles by D
+            assert np.all(pans == pans[:, :1])
+            assert np.all(pans[:, 0] % ndev == d)
+
+
+def test_fit_gp_mesh_input_validation(mesh):
+    from egobox_tpu.gp.fit import fit_gp
+
+    x, y = _problem(n=64, d=2, seed=0)
+    with pytest.raises(ValueError, match="full mask"):
+        m = np.ones(64, bool)
+        m[:5] = False
+        fit_gp(x, y, mesh=mesh, mask=jnp.asarray(m))
+    with pytest.raises(ValueError, match="KPLS"):
+        fit_gp(x, y, mesh=mesh, kpls_dim=1)
+    with pytest.raises(ValueError, match="divisible"):
+        fit_gp(x[:63], y[:63], mesh=mesh)
