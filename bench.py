@@ -12,6 +12,12 @@ program on the MXU.
 Fit config: multi-fidelity MLE — multistart on a subsample, then polish
 iterations on the full 10k data; f32, nugget 1e-3 (f32-scale regularization
 at n=10k). The final model is the exact full-data GP at the polished theta.
+The polish runs residual-routed (value-only line-search trials, adjoint
+from the kept factorization, no closing forward) with the 64-probe
+stochastic-trace gradient (gp/likelihood.py _sqexp_dphi_stoch): measured on
+v5e 2026-08-17 in ONE session — exact-vg recipe 0.919 s, stoch64-vg
+0.829 s, stoch64-residual 0.744 s, with IDENTICAL quality deltas
+(0.98/1.06/2.44%) across all three (tools/prof_polish.py).
 
 QUALITY GATE (VERDICT r2 item 3): the direct full-data fit likelihoods for
 seeds 1-3 were computed once on v5e (n_start=1, max_iters=12 — see
@@ -120,7 +126,8 @@ def main():
         _ = float(x[0, 0])  # force data on device before the clock starts
         t0 = time.perf_counter()
         m = gp.fit_gp(x, y, n_start=1, max_iters=4, nugget=1e-3,
-                      subsample_warmstart=2000, polish_iters=2)
+                      subsample_warmstart=2000, polish_iters=2,
+                      grad_probes=64, polish_residual=True)
         lkh = float(m.likelihood)  # host sync = honest stop
         return time.perf_counter() - t0, lkh
 

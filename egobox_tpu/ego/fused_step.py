@@ -35,9 +35,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..doe.lhs import LhsKind, lhs_normalized
+from ..doe.lhs import LhsKind, lhs_normalized, maximin_lhs
 from ..gp.fit import fit_gp_core
 from .infill_optim import compute_scaling, optimize_infill
+from .start_points import middle_picker_starts_traced
 from .surrogates import surrogate_valvar_single
 
 _FUSED_STATICS = (
@@ -157,7 +158,10 @@ def fused_select_point(
     return packed, models
 
 
-@partial(jax.jit, static_argnames=_FUSED_STATICS + ("q_points", "qei"))
+@partial(
+    jax.jit,
+    static_argnames=_FUSED_STATICS + ("q_points", "qei", "use_middle"),
+)
 def fused_select_points_q(
     xp: jnp.ndarray,  # (nb, nx) padded DoE
     yp: jnp.ndarray,  # (nb, m)
@@ -167,16 +171,20 @@ def fused_select_points_q(
     theta_up: jnp.ndarray,
     fit_key: jnp.ndarray,
     cloud_key: jnp.ndarray,
-    starts_q: jnp.ndarray,  # (q, k, nx): per-virtual-step multistart seeds
+    starts0: jnp.ndarray,  # (k, nx): step-0 multistart seeds (host picker)
+    seeds_key: jnp.ndarray,  # PRNG key for the in-scan per-step seeds
     lo: jnp.ndarray,
     hi: jnp.ndarray,
     fmin: jnp.ndarray,
     cstr_tols: jnp.ndarray,
     y_best_row: jnp.ndarray,  # (m,) current best output row (CLMIN liar)
     fcstr_tols: jnp.ndarray = None,
+    seed_lo: jnp.ndarray = None,  # (nx,) seed box (TREGO region); None=box
+    seed_hi: jnp.ndarray = None,
     *,
     q_points: int,
     qei: str,  # KB | KBLB | KBUB | CLMIN
+    use_middle: bool = True,
     corr: str,
     trend: str,
     kpls_dim,
@@ -203,6 +211,15 @@ def fused_select_points_q(
     point). fmin stays fixed across the virtual steps (parity with the
     unfused q_points loop, solver.py:537-670).
 
+    Multistart seeds: step 0 consumes ``starts0`` (the host MiddlePicker
+    on the actual DoE, same as the q=1 path); steps j >= 1 draw their
+    seeds IN-PROGRAM from the AUGMENTED DoE via the traceable
+    MiddlePicker (start_points.middle_picker_starts_traced) — matching
+    the unfused loop's re-run of the picker over DoE + virtual rows
+    (solver_impl.rs:566-585) without a host roundtrip. ``use_middle=False``
+    (TREGO local steps / env kill-switch) draws plain maximin LHS in the
+    ``seed_lo``/``seed_hi`` box instead.
+
     Returns (packed (q, nx + 1 + m), theta_last (m, dim)): each packed row
     is [x_j (nx), f_j (1), y_virtual_j (m)] so the host fetches all q
     proposals and their imputed outputs in one transfer.
@@ -211,6 +228,9 @@ def fused_select_points_q(
     nx = xp.shape[1]
     m = yp.shape[1]
     q = q_points
+    n_start_k = starts0.shape[0]
+    if seed_lo is None:
+        seed_lo, seed_hi = lo, hi
     # q - 1 extra padded slots for the virtual rows (the padded buffer may
     # be full at bucket boundaries)
     xbuf = jnp.concatenate([xp, jnp.zeros((q - 1, nx), dtype)], axis=0)
@@ -218,12 +238,24 @@ def fused_select_points_q(
     mbuf = jnp.concatenate(
         [mask, jnp.zeros((q - 1,), dtype=bool)], axis=0
     )
+    n_sub_max = max(xbuf.shape[0] // 10, 2)
 
     conf = {"KB": 0.0, "KBLB": -3.0, "KBUB": 3.0, "CLMIN": 0.0}[qei]
 
-    def step(carry, inp):
+    def step(carry, j):
         xb, yb, mb, th0 = carry
-        j, starts_j = inp
+        kj = jax.random.fold_in(seeds_key, j)
+        if use_middle:
+            starts_traced = middle_picker_starts_traced(
+                kj, xb, mb, seed_lo, seed_hi, n_start_k, n_sub_max
+            )
+        else:
+            fill = maximin_lhs(kj, n_start_k, nx, False, 5, dtype)
+            starts_traced = (
+                seed_lo[None, :] + fill * (seed_hi - seed_lo)[None, :]
+            )
+        starts_traced = jnp.clip(starts_traced, lo[None, :], hi[None, :])
+        starts_j = jnp.where(j == 0, starts0, starts_traced)
         xk, fk, models = _select_core(
             xb, yb, mb, th0, theta_lo, theta_up,
             jax.random.fold_in(fit_key, j),
@@ -253,8 +285,7 @@ def fused_select_points_q(
         return (xb, yb, mb, models.theta), packed_j
 
     (_, _, _, theta_last), packed = lax.scan(
-        step, (xbuf, ybuf, mbuf, theta0s),
-        (jnp.arange(q), starts_q),
+        step, (xbuf, ybuf, mbuf, theta0s), jnp.arange(q)
     )
     return packed, theta_last
 

@@ -496,9 +496,10 @@ class EgorSolver:
         q_points=1 it consumes the rng/key streams in the same order as
         the unfused path so results are reproducible across both
         (asserted in tests/test_fused_step.py); the q > 1 scan draws its
-        multistart seeds from the ORIGINAL DoE for every virtual step
-        (the unfused loop re-runs the middle picker on the augmented DoE
-        — documented divergence)."""
+        step-0 seeds from the host MiddlePicker and every later virtual
+        step's seeds IN-PROGRAM from the augmented DoE (traceable
+        MiddlePicker, start_points.py) — mirroring the unfused loop's
+        per-point picker re-run without extra dispatches."""
         from .fused_step import fused_select_point, fused_select_points_q
 
         cfg = self.config
@@ -549,19 +550,32 @@ class EgorSolver:
             fcstr_fns=tuple(fcstrs),
         )
         if cfg.q_points > 1:
-            starts_more = [
-                jnp.asarray(self._multistart_seeds(
-                    state, xt, xlimits, seed_xlimits))
-                for _ in range(cfg.q_points - 1)
-            ]
-            starts_q = jnp.stack([starts] + starts_more)
+            seeds_key = self._next_key()
+            use_middle = (
+                seed_xlimits is None
+                and xlimits is self.xlimits
+                and not os.environ.get(
+                    "EGOR_DO_NOT_USE_MIDDLEPICKER_MULTISTARTER"
+                )
+            )
+            if seed_xlimits is not None:
+                seed_lo = jnp.asarray(
+                    np.ascontiguousarray(seed_xlimits[:, 0]), dtype
+                )
+                seed_hi = jnp.asarray(
+                    np.ascontiguousarray(seed_xlimits[:, 1]), dtype
+                )
+            else:
+                seed_lo = seed_hi = None
             i_min = int(np.argmin(state.y_data[:, 0]))
             y_best = jnp.asarray(state.y_data[i_min], dtype)
             packed, theta_last = fused_select_points_q(
                 xp, yp, mask, theta0s, t_lo, t_up, fit_key, cloud_key,
-                starts_q, lo_dev, hi_dev, jnp.asarray(fmin, dtype),
-                tols_dev, y_best, fcstr_tols,
-                q_points=cfg.q_points, qei=qei, **statics,
+                starts, seeds_key, lo_dev, hi_dev,
+                jnp.asarray(fmin, dtype),
+                tols_dev, y_best, fcstr_tols, seed_lo, seed_hi,
+                q_points=cfg.q_points, qei=qei, use_middle=use_middle,
+                **statics,
             )
             state.theta_inits = theta_last  # stays on device (no sync)
             arr = np.asarray(packed)  # the single host fetch

@@ -150,7 +150,7 @@ def _warmstart_theta(
     jax.jit,
     static_argnames=(
         "corr", "trend", "kpls_dim", "n_start", "max_iters", "fixed",
-        "ls_batch", "residual_api",
+        "ls_batch", "residual_api", "grad_probes",
     ),
 )
 def fit_gp_core(
@@ -172,6 +172,7 @@ def fit_gp_core(
     nugget: float = 0.0,
     ls_batch: int = 0,
     residual_api: bool = False,
+    grad_probes: int = 0,
 ) -> GpModel:
     n, nx = x.shape
     dtype = x.dtype
@@ -221,7 +222,8 @@ def fit_gp_core(
         #   gradient).
         if residual_api:
             fun_and_res, grad_from_res = make_neg_rlf_residual_api(
-                corr, trend, x_norm, y_norm, y_std, w_star, nugget, mask
+                corr, trend, x_norm, y_norm, y_std, w_star, nugget, mask,
+                stoch_probes=grad_probes,
             )
             solve = lambda t: minimize_lbfgsb(  # noqa: E731
                 lambda tt: fun_and_res(tt)[0], t, lo, up,
@@ -231,7 +233,8 @@ def fit_gp_core(
             )
         else:
             neg_rlf_theta = make_neg_reduced_likelihood(
-                corr, trend, x_norm, y_norm, y_std, w_star, nugget, mask
+                corr, trend, x_norm, y_norm, y_std, w_star, nugget, mask,
+                stoch_probes=grad_probes,
             )
 
             def neg_rlf(t_log10):
@@ -312,6 +315,8 @@ def fit_gp(
     rank_warmstart: Optional[int] = None,
     mesh=None,
     dist_bp: Optional[int] = None,
+    grad_probes: int = 0,
+    polish_residual: Optional[bool] = None,
 ) -> GpModel:
     """User-facing fit (ref: GpParams + Fit, gp/src/algorithm.rs:785-980).
 
@@ -333,6 +338,22 @@ def fit_gp(
     the mesh size; ``dist_bp`` overrides the Cholesky panel size. The
     returned model is then assembled at the optimized theta (one O(n^3)
     single-device factorization for the predict state).
+
+    ``grad_probes=p``: squared-exponential fits only — evaluate the MLE
+    gradient's trace contraction with a p-probe Hutchinson estimator
+    (likelihood._sqexp_dphi_stoch, O(n^2 d p)) instead of the exact
+    O(n^3) triangular inverse. Likelihood VALUES (line-search acceptance,
+    restarts ranking, the final model) stay exact; only the quasi-Newton
+    direction is stochastic (fixed probes, deterministic). Intended for
+    the large-n polish phase where the exact adjoint dominates wall time.
+
+    ``polish_residual``: route the full-data polish through the
+    residual-reuse L-BFGS (value-only line-search trials, adjoint from the
+    kept factorization, final model from the accepted residuals — no
+    closing forward). Default None = automatic (True for the
+    rank_warmstart mode, False otherwise: measured fastest end-to-end on
+    v5e with the exact adjoint; re-measure when combining with
+    ``grad_probes``).
     """
     x = jnp.asarray(x)
     dtype = x.dtype
@@ -401,6 +422,7 @@ def fit_gp(
         theta0 = jnp.clip(theta_dist, bounds_lo, bounds_up)
         theta_fixed = True
 
+    auto_polish_residual = polish_residual
     polish_residual = False
     if (
         subsample_warmstart
@@ -445,6 +467,9 @@ def fit_gp(
         n_start = 0
         max_iters = polish_iters
 
+    if auto_polish_residual is not None:
+        polish_residual = bool(auto_polish_residual)
+
     # nugget-escalation retry: if the optimum lands where the f32/f64
     # Cholesky fails (likelihood -inf), refit with a 100x larger nugget.
     # nugget is a traced argument, so retries re-use the compiled program
@@ -456,7 +481,7 @@ def fit_gp(
             x, y, mask, theta0, bounds_lo, bounds_up, active_mask, key,
             corr=corr, trend=trend, kpls_dim=kpls_dim, n_start=n_start,
             max_iters=max_iters, fixed=theta_fixed, nugget=nugget,
-            residual_api=polish_residual,
+            residual_api=polish_residual, grad_probes=grad_probes,
         )
         if bool(jnp.isfinite(model.likelihood)):
             return model
