@@ -12,10 +12,13 @@ EI/LogEI/WB2/WB2S infill, surrogate constraints (MC/UTB or cstr_infill),
 q_points=1, continuous variables. Problems share nx, n_cstr, and the
 iteration budget; xlimits may differ per problem (they are traced values).
 
+The EGOR_USE_MAX_PROBA_OF_FEASIBILITY feasibility-first search IS threaded
+through the batched call: per-problem feasibility is a traced (B,) bool
+fed to the one compiled program (infill_optim feas_flag), so lanes without
+a feasible point maximize the probability of feasibility while feasible
+lanes optimize the criterion — same env gate as the single-problem solver.
+
 Known divergences from the single-problem solver (documented, by design):
-- the EGOR_USE_MAX_PROBA_OF_FEASIBILITY feasibility-first search is not
-  threaded through the batched call (per-problem feasibility would need a
-  traced criterion switch); q_optmod theta-thinning IS honored.
 - Middle-picker LHS completion draws the first n rows of one precomputed
   n_start-point maximin pool per problem rather than a fresh n-point LHS
   (a truncated LHS has weaker stratification; acceptable for seed points,
@@ -24,6 +27,7 @@ Known divergences from the single-problem solver (documented, by design):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, List, Optional, Sequence, Union
 
@@ -41,7 +45,7 @@ from ..types import (
     OptimResult,
 )
 from .config import EgorConfig, GpConfig
-from .find_result import find_best_result_index
+from .find_result import find_best_result_index, is_feasible
 from .fused_step import fused_select_point_batch
 from .solver import _CRIT_NAME, _CSTR_NAME, _OPT_NAME, _bucket
 from .start_points import middle_picker_starts
@@ -310,6 +314,23 @@ class EgorBatch:
             [y_data[b, best_idx[b], 0] for b in range(B)], dtype
         )
 
+        # per-problem feasibility-first search (same env gate as the
+        # single-problem solver; ref solver_computations.rs:409-417) —
+        # traced (B,) flags, so the one compiled program serves lanes in
+        # both modes
+        feas_flags = None
+        if cfg.n_cstr > 0 and os.environ.get(
+            "EGOR_USE_MAX_PROBA_OF_FEASIBILITY"
+        ):
+            feas_flags = jnp.asarray([
+                is_feasible(
+                    y_data[b, best_idx[b], :1],
+                    y_data[b, best_idx[b], 1:],
+                    cstr_tol[: cfg.n_cstr],
+                )
+                for b in range(B)
+            ])
+
         pool = np.asarray(_fill_pool_prog(
             self._next_key(), lo_all, hi_all, ns=cfg.n_start,
             nx=self.nx,
@@ -339,6 +360,7 @@ class EgorBatch:
             self._shard(jnp.asarray(starts, dtype)),
             self._shard(lo_all), self._shard(hi_all),
             self._shard(fmin), tols,
+            None if feas_flags is None else self._shard(feas_flags),
             corr=gpc.corr_names[0], trend=gpc.regr_names[0],
             kpls_dim=gpc.kpls_dim, gp_n_start=gpc.n_start,
             gp_max_iters=gpc.max_eval, fixed=not optimize_theta,

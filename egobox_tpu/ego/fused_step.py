@@ -50,7 +50,7 @@ _FUSED_STATICS = (
 
 def _select_core(
     xp, yp, mask, theta0s, theta_lo, theta_up, fit_key, cloud_key,
-    starts, lo, hi, fmin, cstr_tols, fcstr_tols,
+    starts, lo, hi, fmin, cstr_tols, fcstr_tols, feas_flag=None,
     *,
     corr, trend, kpls_dim, gp_n_start, gp_max_iters, fixed, nugget,
     n_cloud, crit, cstr_strategy, n_cstr, cstr_infill, feasibility,
@@ -99,7 +99,7 @@ def _select_core(
 
     xk, fk, _ = optimize_infill(
         models, starts, lo, hi, fmin, scale_infill, scale_wb2, scale_cstr,
-        cstr_tols, 1.0, fcstr_tols, scale_fcstr,
+        cstr_tols, 1.0, fcstr_tols, scale_fcstr, feas_flag,
         crit=crit, cstr_strategy=cstr_strategy, n_cstr=n_cstr,
         cstr_infill=cstr_infill, feasibility=feasibility,
         optimizer=optimizer, fcstr_fns=fcstr_fns,
@@ -123,6 +123,7 @@ def fused_select_point(
     fmin: jnp.ndarray,  # scalar: current best objective
     cstr_tols: jnp.ndarray,  # (n_cstr,)
     fcstr_tols: jnp.ndarray = None,  # (n_fcstr,)
+    feas_flag: jnp.ndarray = None,  # traced per-problem feasibility bool
     *,
     corr: str,
     trend: str,
@@ -147,7 +148,7 @@ def fused_select_point(
     dtype = xp.dtype
     xk, fk, models = _select_core(
         xp, yp, mask, theta0s, theta_lo, theta_up, fit_key, cloud_key,
-        starts, lo, hi, fmin, cstr_tols, fcstr_tols,
+        starts, lo, hi, fmin, cstr_tols, fcstr_tols, feas_flag,
         corr=corr, trend=trend, kpls_dim=kpls_dim, gp_n_start=gp_n_start,
         gp_max_iters=gp_max_iters, fixed=fixed, nugget=nugget,
         n_cloud=n_cloud, crit=crit, cstr_strategy=cstr_strategy,
@@ -293,7 +294,7 @@ def fused_select_points_q(
 @partial(jax.jit, static_argnames=_FUSED_STATICS)
 def fused_select_point_batch(
     xp, yp, mask, theta0s, theta_lo, theta_up, fit_keys, cloud_keys,
-    starts, lo, hi, fmin, cstr_tols, **statics,
+    starts, lo, hi, fmin, cstr_tols, feas_flags=None, **statics,
 ):
     """vmap of ``fused_select_point`` over a leading problem axis: B
     independent EGO iterations (B surrogate fits + B multistart infill
@@ -303,10 +304,17 @@ def fused_select_point_batch(
 
     Batched args: xp (B, nb, nx), yp (B, nb, m), mask (B, nb),
     theta0s (B, m, dim), fit_keys/cloud_keys (B,) PRNG keys,
-    starts (B, k, nx), lo/hi (B, nx), fmin (B,). Shared: theta bounds,
-    cstr_tols."""
+    starts (B, k, nx), lo/hi (B, nx), fmin (B,), optional feas_flags (B,)
+    per-problem feasibility-first switches (traced; see
+    infill_optim.optimize_infill). Shared: theta bounds, cstr_tols."""
     f = partial(fused_select_point, **statics)
+    if feas_flags is None:
+        return jax.vmap(
+            f, in_axes=(0, 0, 0, 0, None, None, 0, 0, 0, 0, 0, 0, None)
+        )(xp, yp, mask, theta0s, theta_lo, theta_up, fit_keys, cloud_keys,
+          starts, lo, hi, fmin, cstr_tols)
     return jax.vmap(
-        f, in_axes=(0, 0, 0, 0, None, None, 0, 0, 0, 0, 0, 0, None)
+        f,
+        in_axes=(0, 0, 0, 0, None, None, 0, 0, 0, 0, 0, 0, None, None, 0),
     )(xp, yp, mask, theta0s, theta_lo, theta_up, fit_keys, cloud_keys,
-      starts, lo, hi, fmin, cstr_tols)
+      starts, lo, hi, fmin, cstr_tols, None, feas_flags)

@@ -47,14 +47,36 @@ def _criterion(crit: str, mean, var, fmin, scale_wb2, sigma_weight=1.0):
 
 def _infill_obj_terms(crit, means, vrs, fmin, scale_infill, scale_wb2,
                       cstr_tols, cstr_infill, sigma_weight=1.0,
-                      feasibility=True):
+                      feasibility=True, feas_flag=None):
     """Negative (scaled) criterion, optionally folded with PoF
     (ref: eval_infill_obj_with_cstrs, solver_computations.rs:398-475).
 
     ``feasibility=False`` (no feasible point found yet, env flag
     EGOR_USE_MAX_PROBA_OF_FEASIBILITY) neutralizes the criterion so the
     optimizer maximizes the probability of feasibility instead
-    (solver_computations.rs:409-417)."""
+    (solver_computations.rs:409-417).
+
+    ``feas_flag`` (traced bool scalar) is the per-problem runtime version
+    of the same switch for BATCHED programs (EgorBatch vmaps one program
+    over problems, so the flag cannot be static): both branches are
+    computed and selected with jnp.where. Requires feasibility=True."""
+    if feas_flag is not None:
+        c = _criterion(crit, means[0], vrs[0], fmin, scale_wb2,
+                       sigma_weight)
+        obj_f = -c / scale_infill
+        obj_i = jnp.asarray(0.0 if crit == "LogEI" else -1.0, means.dtype)
+        if means.shape[0] > 1:
+            if crit == "LogEI":
+                pofs = jnp.sum(log_pof(means[1:], vrs[1:], cstr_tols))
+                if cstr_infill:
+                    obj_f = obj_f - pofs
+                obj_i = obj_i - pofs
+            else:
+                pofs = jnp.prod(pof(means[1:], vrs[1:], cstr_tols))
+                if cstr_infill:
+                    obj_f = obj_f * pofs
+                obj_i = obj_i * pofs
+        return jnp.where(feas_flag, obj_f, obj_i)
     fold = (cstr_infill or not feasibility) and means.shape[0] > 1
     if feasibility:
         c = _criterion(crit, means[0], vrs[0], fmin, scale_wb2,
@@ -91,6 +113,7 @@ def optimize_infill(
     sigma_weight=1.0,
     fcstr_tols=None,  # (n_fcstr,) tolerances for the traced fcstrs
     scale_fcstr=None,  # (n_fcstr,) cloud-derived scales
+    feas_flag=None,  # traced bool scalar: per-problem feasibility switch
     *,
     crit: str = "LogEI",
     cstr_strategy: str = "MC",
@@ -123,15 +146,27 @@ def optimize_infill(
     threading through COBYLA/SLSQP (optimizers/optimizer.rs:122-223,
     solver_impl.rs:716-741). Non-traceable callbacks keep using the host
     polish fallback (solver._fcstr_polish).
+
+    ``feas_flag`` (traced bool scalar): per-problem feasibility-first
+    switch for batched (vmapped) programs — when False the criterion is
+    neutralized (maximize PoF) and the surrogate hard constraints are
+    deactivated in-program, matching the static feasibility=False
+    structure lane-by-lane. Requires feasibility=True (the static flag
+    picks the program structure; the traced flag selects behavior).
     """
     dtype = starts.dtype
     n_fcstr = len(fcstr_fns)
+    if feas_flag is not None and not feasibility:
+        raise ValueError(
+            "feas_flag (traced) requires the static feasibility=True "
+            "program structure"
+        )
 
     def infill_obj(x):
         means, vrs = surrogate_valvar_single(models, x)
         return _infill_obj_terms(
             crit, means, vrs, fmin, scale_infill, scale_wb2, cstr_tols,
-            cstr_infill, sigma_weight, feasibility,
+            cstr_infill, sigma_weight, feasibility, feas_flag,
         )
 
     surr_hard = (n_cstr > 0) and not cstr_infill and feasibility
@@ -157,7 +192,13 @@ def optimize_infill(
                     g = g + CSTR_DOUBT * jnp.sqrt(
                         jnp.maximum(vrs[1:], 0.0)
                     )
-                parts.append((g - cstr_tols) / scale_cstr)
+                gs = (g - cstr_tols) / scale_cstr
+                if feas_flag is not None:
+                    # infeasible-mode lanes: hard surrogate constraints
+                    # are deactivated (always satisfied) so the AL/
+                    # penalty terms vanish and the lane maximizes PoF
+                    gs = jnp.where(feas_flag, gs, -jnp.ones_like(gs))
+                parts.append(gs)
             if n_fcstr:
                 gfc = jnp.stack(
                     [jnp.asarray(fn(x), dtype).reshape(())

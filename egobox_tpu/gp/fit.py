@@ -19,8 +19,11 @@ optimization.rs:26-71:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -144,6 +147,61 @@ def _warmstart_theta(
     rlfs = jax.vmap(rank_rlf)(thetas)
     rlfs = jnp.where(jnp.isfinite(rlfs), rlfs, -jnp.inf)
     return thetas[jnp.argmax(rlfs)]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "corr", "trend", "kpls_dim", "n_start", "max_iters", "sub_m",
+        "polish_iters", "residual", "grad_probes",
+    ),
+)
+def _fit_mf_fused(
+    x: jnp.ndarray,  # (n, nx)
+    y: jnp.ndarray,  # (n, 1)
+    theta0: jnp.ndarray,
+    bounds_lo: jnp.ndarray,
+    bounds_up: jnp.ndarray,
+    active: jnp.ndarray,
+    key,
+    *,
+    corr: str,
+    trend: str,
+    kpls_dim: Optional[int],
+    n_start: int,
+    max_iters: int,
+    sub_m: int,
+    polish_iters: int,
+    nugget,
+    residual: bool,
+    grad_probes: int,
+) -> GpModel:
+    """The default multi-fidelity recipe (subsample draw -> multistart
+    subfit -> full-data polish) as ONE compiled program. The host version
+    of the same recipe pays ~8 eager dispatches (key split, permutation,
+    gathers, clip) plus two separate program dispatch+fetch chains — on a
+    remote-attached TPU each costs a tunnel roundtrip (CLAUDE.md axon
+    dispatch model), which is pure latency at n=10k. Key-stream order
+    matches the host recipe exactly (split -> permutation(ksub) ->
+    subfit(key) -> polish(key, unused at n_start=0)).
+    Kill-switch: EGOBOX_NO_FUSED_FIT=1."""
+    n = x.shape[0]
+    ksub, key = jax.random.split(key)
+    idx = jax.random.permutation(ksub, n)[:sub_m]
+    sub_mask = jnp.ones((sub_m,), dtype=bool)
+    m0 = fit_gp_core(
+        x[idx], y[idx], sub_mask, theta0, bounds_lo, bounds_up, active,
+        key, corr=corr, trend=trend, kpls_dim=kpls_dim, n_start=n_start,
+        max_iters=max_iters, fixed=False, nugget=nugget,
+    )
+    theta_w = jnp.clip(m0.theta, bounds_lo, bounds_up)
+    full_mask = jnp.ones((n,), dtype=bool)
+    return fit_gp_core(
+        x, y, full_mask, theta_w, bounds_lo, bounds_up, active, key,
+        corr=corr, trend=trend, kpls_dim=kpls_dim, n_start=0,
+        max_iters=polish_iters, fixed=False, nugget=nugget,
+        residual_api=residual, grad_probes=grad_probes,
+    )
 
 
 @partial(
@@ -372,29 +430,32 @@ def fit_gp(
             f"kpls_dim {kpls_dim} must be <= input dim {nx}"
         )
 
-    theta0 = jnp.broadcast_to(
-        jnp.asarray(
+    # host-side prep stays NUMPY: every eager jnp op here would cost a
+    # dispatch roundtrip on a remote-attached TPU (CLAUDE.md axon model);
+    # numpy arguments upload inside the jit call RPC instead
+    theta0 = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(
             theta_init if theta_init is not None else GP_DEFAULT_THETA_INIT,
             dtype=dtype,
         ),
         (dim,),
-    )
+    ))
     tb = theta_bounds if theta_bounds is not None else GP_DEFAULT_THETA_BOUNDS
-    tb = jnp.asarray(tb, dtype=dtype)
+    tb = np.asarray(tb, dtype=dtype)
     if tb.ndim == 1:
-        tb = jnp.broadcast_to(tb[None, :], (dim, 2))
-    bounds_lo, bounds_up = tb[:, 0], tb[:, 1]
+        tb = np.broadcast_to(tb[None, :], (dim, 2))
+    bounds_lo = np.ascontiguousarray(tb[:, 0])
+    bounds_up = np.ascontiguousarray(tb[:, 1])
 
     if mask is None:
-        mask = jnp.ones((n,), dtype=bool)
+        mask = np.ones((n,), dtype=bool)
     else:
-        mask = jnp.asarray(mask, dtype=bool)
+        mask = np.asarray(mask, dtype=bool)
     if active is None:
-        active_mask = jnp.ones((dim,), dtype=bool)
+        active_mask = np.ones((dim,), dtype=bool)
     else:
-        active_mask = jnp.zeros((dim,), dtype=bool).at[
-            jnp.asarray(active)
-        ].set(True)
+        active_mask = np.zeros((dim,), dtype=bool)
+        active_mask[np.asarray(active)] = True
 
     if nugget is None:
         nugget = 100.0 * float(jnp.finfo(dtype).eps)
@@ -402,7 +463,7 @@ def fit_gp(
     key = jax.random.key(seed)
 
     if mesh is not None and not theta_fixed:
-        if not bool(jnp.all(mask)):
+        if not bool(np.all(mask)):
             raise ValueError(
                 "fit_gp(mesh=...) requires a full mask (no padding)"
             )
@@ -414,7 +475,7 @@ def fit_gp(
             mesh, x, y, corr=corr, trend=trend,
             theta0=None if theta_init is None and subsample_warmstart
             else theta0,
-            theta_bounds=jnp.stack([bounds_lo, bounds_up], axis=1),
+            theta_bounds=np.stack([bounds_lo, bounds_up], axis=1),
             max_iters=max_iters, nugget=nugget, bp=dist_bp,
             subsample_warmstart=subsample_warmstart,
             polish_iters=polish_iters, seed=seed,
@@ -424,14 +485,22 @@ def fit_gp(
 
     auto_polish_residual = polish_residual
     polish_residual = False
+    use_fused_recipe = False
     if (
         subsample_warmstart
         and not theta_fixed
         and n > subsample_warmstart
-        and bool(jnp.all(mask))
+        and bool(np.all(mask))
     ):
-        ksub, key = jax.random.split(key)
-        if rank_warmstart:
+        if not rank_warmstart and not os.environ.get("EGOBOX_NO_FUSED_FIT"):
+            # default recipe as ONE program (_fit_mf_fused): the key split
+            # and subsample draw happen in-program, same stream order
+            use_fused_recipe = True
+        else:
+            ksub, key = jax.random.split(key)
+        if use_fused_recipe:
+            pass
+        elif rank_warmstart:
             # opt-in candidate ranking: the subsample likelihood misranks
             # theta basins, so re-rank all restarts on a larger subset
             # before the polish commits to a basin (improves worst-case
@@ -464,8 +533,9 @@ def fit_gp(
                 nugget=nugget,
             )
             theta0 = jnp.clip(m0.theta, bounds_lo, bounds_up)
-        n_start = 0
-        max_iters = polish_iters
+        if not use_fused_recipe:
+            n_start = 0
+            max_iters = polish_iters
 
     if auto_polish_residual is not None:
         polish_residual = bool(auto_polish_residual)
@@ -477,12 +547,24 @@ def fit_gp(
     # gp/src/algorithm.rs:1009-1027).
     model = None
     for _ in range(3):
-        model = fit_gp_core(
-            x, y, mask, theta0, bounds_lo, bounds_up, active_mask, key,
-            corr=corr, trend=trend, kpls_dim=kpls_dim, n_start=n_start,
-            max_iters=max_iters, fixed=theta_fixed, nugget=nugget,
-            residual_api=polish_residual, grad_probes=grad_probes,
-        )
+        if use_fused_recipe:
+            model = _fit_mf_fused(
+                x, y, theta0, bounds_lo, bounds_up, active_mask, key,
+                corr=corr, trend=trend, kpls_dim=kpls_dim,
+                n_start=n_start, max_iters=max_iters,
+                sub_m=int(subsample_warmstart), polish_iters=polish_iters,
+                nugget=nugget, residual=polish_residual,
+                grad_probes=grad_probes,
+            )
+        else:
+            model = fit_gp_core(
+                x, y, mask, theta0, bounds_lo, bounds_up, active_mask,
+                key,
+                corr=corr, trend=trend, kpls_dim=kpls_dim,
+                n_start=n_start, max_iters=max_iters, fixed=theta_fixed,
+                nugget=nugget,
+                residual_api=polish_residual, grad_probes=grad_probes,
+            )
         if bool(jnp.isfinite(model.likelihood)):
             return model
         nugget *= 100.0

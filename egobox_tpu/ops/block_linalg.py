@@ -36,6 +36,7 @@ def blocked_cholesky(
     r: jnp.ndarray,
     block: int = 1024,
     precision=jax.lax.Precision.HIGHEST,
+    panel: str = "solve",
 ) -> jnp.ndarray:
     """Lower Cholesky via a left-looking block-column algorithm.
 
@@ -51,13 +52,24 @@ def blocked_cholesky(
     (crates/gp/src/algorithm.rs:988-1056) with an MXU-shaped factorization;
     falls back to XLA's native chol when n <= block.
 
-    Measured (v5e, n=10k f32): 50 ms at b=1024 vs 48 ms for XLA's native
-    chol — XLA's is already well blocked on TPU, so the likelihood keeps
-    the native op. The value of this form is that all O(n^3) work is
-    explicit GEMMs over block columns: with row-sharded inputs the trailing
-    updates distribute over a mesh, which the native (single-device) chol
-    cannot do — the building block for the n>=50k multi-chip factorization
-    (ROADMAP).
+    ``panel`` selects how the sub-diagonal panel applies Lkk^-T:
+
+    - "solve": XLA ``triangular_solve`` with (rows-b) right-hand sides —
+      numerically canonical, but the substitution recurrence runs far
+      below matmul speed (~4.7 TFLOP/s measured; that path carries
+      ~n^2 b of the ~n^3/3 total flops).
+    - "inverse": explicitly invert the b x b diagonal factor (recursive
+      2x2 blocking, all GEMMs — tri_inverse_lower) and apply it as one
+      MXU GEMM. Error grows with cond(Lkk) like the solve's does; the
+      Gershgorin-scaled jitter (gp/likelihood.py) keeps the Schur
+      complements well-enough conditioned in practice.
+
+    Measured (v5e, n=10k f32): 50 ms at b=1024 panel="solve" vs 48 ms for
+    XLA's native chol — XLA's is already well blocked on TPU. The value of
+    this form is that all O(n^3) work is explicit GEMMs over block
+    columns: with row-sharded inputs the trailing updates distribute over
+    a mesh, which the native (single-device) chol cannot do — the building
+    block for the n>=50k multi-chip factorization (ROADMAP).
     """
     n = r.shape[0]
     if n <= block:
@@ -86,9 +98,15 @@ def blocked_cholesky(
             )  # (b, kb)
             a_col = a_col - jnp.matmul(left, top.T, precision=precision)
         lkk = jnp.linalg.cholesky(a_col[:block])
-        below = solve_triangular(
-            lkk, a_col[block:].T, lower=True
-        ).T  # (rows-b, b)
+        if panel == "inverse":
+            linv = tri_inverse_lower(lkk, precision, block=256)
+            below = jnp.matmul(
+                a_col[block:], linv.T, precision=precision
+            )  # (rows-b, b)
+        else:
+            below = solve_triangular(
+                lkk, a_col[block:].T, lower=True
+            ).T  # (rows-b, b)
         cols.append(jnp.concatenate([lkk, below], axis=0))
     out = jnp.concatenate(
         [jnp.pad(c, ((j * block, 0), (0, 0))) for j, c in enumerate(cols)],

@@ -158,3 +158,48 @@ def test_batch_batched_callable_and_per_problem_xlimits():
     results = eb.minimize(max_iters=10)
     assert abs(results[0].x_opt[0] - 5.0) < 1.0
     assert abs(results[1].x_opt[0] - 10.0) < 1.5
+
+
+def test_batch_feasibility_first_search(monkeypatch):
+    """Per-problem feasibility-first: with EGOR_USE_MAX_PROBA_OF_FEASIBILITY
+    set, a lane whose history has no feasible point maximizes the
+    probability of feasibility in-program (traced feas_flag) while
+    feasible lanes keep optimizing the criterion
+    (ref solver_computations.rs:409-417)."""
+    monkeypatch.setenv("EGOR_USE_MAX_PROBA_OF_FEASIBILITY", "1")
+
+    def hard(x):  # feasible only for x >= 20
+        x = np.atleast_2d(x)
+        return np.stack([x[:, 0], 20.0 - x[:, 0]], axis=1)
+
+    def easy(x):  # always feasible
+        x = np.atleast_2d(x)
+        return np.stack(
+            [(x[:, 0] - 17.0) ** 2 / 10.0 - 5.0, -np.ones(x.shape[0])],
+            axis=1,
+        )
+
+    eb = EgorBatch(
+        [hard, easy], np.array([[0.0, 25.0]]), n_cstr=1, seed=3,
+        n_start=6, gp_config=GpConfig(n_start=3, max_eval=20),
+    )
+    # crafted histories: lane 0 entirely infeasible, lane 1 feasible
+    xs = np.array([1.0, 5.0, 10.0, 15.0])
+    x_doe = np.stack([xs[:, None], xs[:, None]])
+    y_doe = np.stack([hard(xs[:, None]), easy(xs[:, None])])
+    xn = eb.suggest(x_doe, y_doe)
+    assert xn.shape == (2, 1)
+    assert np.all(np.isfinite(xn))
+    # the infeasible lane proposes toward the high-PoF region (the
+    # constraint surrogate decreases with x; PoF is maximized at large x)
+    assert xn[0, 0] > 15.0
+
+    # end-to-end: a fresh batch run discovers the feasible region of the
+    # hard problem and still solves the easy one
+    eb2 = EgorBatch(
+        [hard, easy], np.array([[0.0, 25.0]]), n_cstr=1, seed=3,
+        n_start=6, gp_config=GpConfig(n_start=3, max_eval=20),
+    )
+    res = eb2.minimize(max_iters=10)
+    assert np.any(res[0].y_doe[:, 1] <= 1e-3)
+    assert abs(res[1].y_opt[0] - (-5.0)) < 0.6
