@@ -47,7 +47,13 @@ from ..types import (
 from .config import EgorConfig, GpConfig
 from .find_result import find_best_result_index, is_feasible
 from .fused_step import fused_select_point_batch
-from .solver import _CRIT_NAME, _CSTR_NAME, _OPT_NAME, _bucket
+from .solver import (
+    _CRIT_NAME,
+    _CSTR_NAME,
+    _OPT_NAME,
+    _bucket,
+    impute_failed_values,
+)
 from .start_points import middle_picker_starts
 from .surrogates import GpSpec
 
@@ -434,6 +440,11 @@ class EgorBatch:
 
         x_data = self._cast_doe(self._init_doe())  # (B, n, nx)
         y_data = self._eval_doe(x_data)  # (B, n, m)
+        # failed initial-DoE evaluations are imputed per problem (shared
+        # penalty rule with the single-problem solver) so they cannot
+        # poison the GP normalization or the incumbent bookkeeping
+        for b in range(B):
+            y_data[b] = impute_failed_values(y_data[b], y_data[b])
         theta0s = jnp.full((B, m, self._dim), 0.1, dtype=dtype)
         n_active = np.full(B, x_data.shape[1])
 
@@ -461,13 +472,14 @@ class EgorBatch:
             y_new = self._eval(x_new)
             for b, yb in frozen.items():  # no re-evaluation noise
                 y_new[b] = yb
-            bad = ~np.isfinite(y_new)
-            if bad.any():
-                worst = np.nanmax(
-                    np.where(np.isfinite(y_data), y_data, -np.inf),
-                    axis=1,
-                )
-                y_new = np.where(bad, worst, y_new)
+            if not np.all(np.isfinite(y_new)):
+                # shared penalty rule with the single-problem solver
+                # (solver.impute_failed_values): worst finite + 3 sigma
+                # per column, per problem
+                for b in range(B):
+                    y_new[b:b + 1] = impute_failed_values(
+                        y_new[b:b + 1], y_data[b]
+                    )
             x_data = np.concatenate([x_data, x_new[:, None]], axis=1)
             y_data = np.concatenate([y_data, y_new[:, None]], axis=1)
             n_active = np.where(

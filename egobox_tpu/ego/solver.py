@@ -78,6 +78,30 @@ def _lhs_in_prog(key, xlimits, *, ns: int, nx: int):
     return new_key, scale_to_xlimits(pts, xlimits)
 
 
+def impute_failed_values(y_new: np.ndarray, y_ref: np.ndarray) -> np.ndarray:
+    """Replace non-finite entries of ``y_new`` (rows, cols) with a
+    worst-observed penalty per column derived from the finite values of
+    ``y_ref`` (max + 3 sigma; a fixed 1e6 when the column has no finite
+    reference at all). Shared by the single-problem solver (new points AND
+    the initial DoE) and EgorBatch — a NaN/inf anywhere in the history
+    would otherwise poison the GP normalization."""
+    bad = ~np.isfinite(y_new)
+    if not bad.any():
+        return y_new
+    logger.warning("imputing %d failed objective value(s)",
+                   int(bad.sum()))
+    y_new = y_new.copy()
+    for j in range(y_new.shape[1]):
+        col_ref = y_ref[:, j]
+        finite = col_ref[np.isfinite(col_ref)]
+        if finite.size:
+            penalty = finite.max() + 3.0 * max(finite.std(), 1.0)
+        else:
+            penalty = 1e6
+        y_new[bad[:, j], j] = penalty
+    return y_new
+
+
 def _bucket(n: int, b: int) -> int:
     return max(b, ((n + b - 1) // b) * b)
 
@@ -195,6 +219,9 @@ class EgorSolver:
                 f"objective returned {y_data.shape[1]} columns, expected "
                 f"1 + n_cstr = {1 + cfg.n_cstr}"
             )
+        # failed evaluations in the INITIAL DoE poison the GP normalization
+        # exactly like later ones — impute them against the DoE itself
+        y_data = impute_failed_values(y_data, y_data)
         c_data = self._eval_fcstrs(fcstrs, x_data)
         cstr_tol = cfg.resolved_cstr_tol(len(fcstrs))
 
@@ -901,21 +928,7 @@ class EgorSolver:
         so the surrogate learns to avoid the region (optimizer-level
         robustness, cf. the reference's likelihood-failure handling,
         SURVEY.md §5)."""
-        bad = ~np.isfinite(y_new)
-        if not bad.any():
-            return y_new
-        logger.warning("imputing %d failed objective value(s)",
-                       int(bad.sum()))
-        y_new = y_new.copy()
-        for j in range(y_new.shape[1]):
-            col_ref = state.y_data[:, j]
-            finite = col_ref[np.isfinite(col_ref)]
-            if finite.size:
-                penalty = finite.max() + 3.0 * max(finite.std(), 1.0)
-            else:
-                penalty = 1e6
-            y_new[bad[:, j], j] = penalty
-        return y_new
+        return impute_failed_values(y_new, state.y_data)
 
     @staticmethod
     def _is_new(x_data: np.ndarray, x: np.ndarray) -> bool:

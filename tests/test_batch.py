@@ -203,3 +203,74 @@ def test_batch_feasibility_first_search(monkeypatch):
     res = eb2.minimize(max_iters=10)
     assert np.any(res[0].y_doe[:, 1] <= 1e-3)
     assert abs(res[1].y_opt[0] - (-5.0)) < 0.6
+
+
+def test_batch_fuzz_nan_heavy_objective():
+    """Adversarial fuzz (ROADMAP r4): an objective that returns NaN over
+    a third of the domain — including in the initial DoE — must not crash
+    the batched loop. Non-finite evaluations are imputed with the
+    problem's worst finite value (parity with the single-problem NaN
+    imputation, solver.py) and the optimizer still improves on the
+    finite region."""
+
+    def holey(x):  # NaN for x in [8, 16], else a quadratic
+        x = np.atleast_2d(x)
+        y = (x[:, 0] - 20.0) ** 2 / 10.0
+        y = np.where((x[:, 0] > 8.0) & (x[:, 0] < 16.0), np.nan, y)
+        return y[:, None]
+
+    eb = EgorBatch(
+        [holey, holey], np.array([[0.0, 25.0]]), seed=11, n_start=4,
+        gp_config=GpConfig(n_start=2, max_eval=10),
+    )
+    results = eb.minimize(max_iters=10)
+    for r in results:
+        assert np.all(np.isfinite(r.y_opt))
+        # found the finite basin near x=20
+        assert r.y_opt[0] < 2.0
+
+
+def test_batch_fuzz_all_nan_doe_then_finite():
+    """Worst case: EVERY initial-DoE evaluation is non-finite (the finite
+    region is a needle the LHS misses). The imputed history must keep the
+    GP fit alive (no GpFitError crash) and the run must terminate."""
+    calls = {"n": 0}
+
+    def needle(x):  # finite only for x < 0.5 in [0, 25]
+        x = np.atleast_2d(x)
+        calls["n"] += x.shape[0]
+        y = np.where(x[:, 0] < 0.5, x[:, 0], np.inf)
+        return y[:, None]
+
+    eb = EgorBatch(
+        [needle, needle], np.array([[2.0, 25.0]]), seed=7, n_start=4,
+        gp_config=GpConfig(n_start=2, max_eval=8),
+    )
+    results = eb.minimize(max_iters=6)
+    assert len(results) == 2
+    for r in results:
+        assert r.x_doe.shape[0] >= eb.default_n_doe()
+
+
+def test_batch_fuzz_constant_plus_nan():
+    """Constant objective with sporadic NaNs: duplicate proposals AND
+    imputation interact — the retry-then-converge bookkeeping must not
+    wedge (converged flags monotone, loop terminates early)."""
+    rng = np.random.default_rng(0)
+
+    def flatnan(x):
+        x = np.atleast_2d(x)
+        y = np.zeros(x.shape[0])
+        y[rng.uniform(size=x.shape[0]) < 0.3] = np.nan
+        return y[:, None]
+
+    eb = EgorBatch(
+        [flatnan, flatnan, flatnan], np.array([[0.0, 1.0]]), seed=5,
+        n_start=3, gp_config=GpConfig(n_start=2, max_eval=5),
+    )
+    results = eb.minimize(max_iters=12)
+    assert len(results) == 3
+    for r in results:
+        assert np.all(np.isfinite(r.y_doe)) or np.all(
+            np.isfinite(r.y_opt)
+        )

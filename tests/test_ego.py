@@ -344,6 +344,28 @@ def test_nan_objective_robustness():
     assert not np.isnan(res.y_doe).any()
 
 
+def test_nan_in_initial_doe_imputed():
+    """NaNs in the INITIAL DoE (not just later points) are imputed before
+    any GP fit — a user-provided DoE straddling a failure region must not
+    poison normalization or crash the first surrogate (fuzz finding,
+    ROADMAP r4 robustness)."""
+    def half_nan(x):
+        x = np.atleast_2d(x)
+        y = ((x - 3.5) * np.sin((x - 3.5) / np.pi)).reshape(-1, 1)
+        y[x.reshape(-1, 1) > 12.0] = np.nan
+        return y
+
+    doe = np.array([[1.0], [6.0], [14.0], [20.0], [24.0]])  # 3/5 NaN
+    egor = Egor([[0.0, 25.0]], seed=1, doe=doe)
+    res = egor.minimize(half_nan, max_iters=10)
+    assert not np.isnan(res.y_doe).any()
+    # the xsinx global basin lies INSIDE the failure region: the optimizer
+    # must settle on the finite region's optimum (~0 at x ~ 3.5), i.e.
+    # below every imputed penalty, not on a poisoned/NaN point
+    assert res.y_opt[0] < 0.5
+    assert res.x_opt[0] <= 12.0
+
+
 @pytest.mark.slow
 def test_infill_optimizer_slsqp_g24():
     """InfillOptimizer.SLSQP (smoothed-L1 exact-penalty L-BFGS) must hit
