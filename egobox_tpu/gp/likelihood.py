@@ -27,6 +27,46 @@ from .trends import trend_basis
 
 _LN10 = 2.302585092994046
 
+#: matrices at or below this order always use XLA's native Cholesky — the
+#: blocked variant only pays off when the trailing-update GEMMs dominate
+_CHOL_NATIVE_MAX = 4096
+
+
+def _cholesky(r):
+    """Cholesky dispatch for the likelihood hot path.
+
+    ``EGOBOX_CHOL`` (read at trace time) selects the implementation for
+    large factorizations:
+
+    - unset / ``native``: XLA's ``jnp.linalg.cholesky`` (measured 48 ms at
+      n=10k f32 on v5e);
+    - ``blk:<panel>:<block>:<prec>`` (e.g. ``blk:inverse:2048:high``): the
+      left-looking blocked factorization (ops/block_linalg.py) whose
+      trailing updates are explicit MXU GEMMs at the given precision —
+      ``high`` (bf16x3) halves the dominant GEMM cost vs ``highest`` with
+      ~1e-6 relative factor error, harmless under the Gershgorin-scaled
+      nugget (see _build_r).
+
+    Small matrices (n <= 4096, i.e. every bucketed EGO fit) always take the
+    native path.
+    """
+    import os
+
+    spec = os.environ.get("EGOBOX_CHOL", "native")
+    if spec == "native" or r.shape[-1] <= _CHOL_NATIVE_MAX:
+        return jnp.linalg.cholesky(r)
+    _tag, panel, block, prec = spec.split(":")
+    from ..ops.block_linalg import blocked_cholesky
+
+    precision = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[prec]
+    return blocked_cholesky(
+        r, block=int(block), precision=precision, panel=panel
+    )
+
 
 class GpInnerParams(NamedTuple):
     """GLS byproducts reused by predict (ref: algorithm.rs:47-60)."""
@@ -93,7 +133,7 @@ def reduced_likelihood(
     else:
         n_obs = jnp.asarray(float(n), dtype)
 
-    l_chol = jnp.linalg.cholesky(r)
+    l_chol = _cholesky(r)
     ft = solve_triangular(l_chol, fx, lower=True)
     # GLS normal equations via the tiny (p, p) Gram of Ft instead of a tall
     # QR — identical R factor (up to signs) at a fraction of the compile

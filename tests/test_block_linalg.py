@@ -23,6 +23,43 @@ def test_blocked_cholesky_matches_native():
                                    atol=1e-10 * n)
 
 
+def test_likelihood_chol_dispatch_matches_native(monkeypatch):
+    """EGOBOX_CHOL routes large factorizations through blocked_cholesky
+    without changing the likelihood value — exercised at small n by
+    lowering the native-path threshold, including under vmap (the
+    multistart fan-out batches the whole likelihood)."""
+    import jax
+
+    from egobox_tpu.gp import likelihood as lk
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(size=(300, 3)))
+    y = jnp.asarray(rng.standard_normal((300, 1)))
+    y_std = jnp.ones(())
+    thetas = jnp.asarray([[0.3, 0.1, 0.5], [1.0, 0.7, 0.2]])
+
+    def rlf_all(theta):
+        v, inner = lk.reduced_likelihood(
+            "squared_exponential", "constant", x, y, y_std, theta, None,
+            1e-6,
+        )
+        return v, inner.r_chol
+
+    ref_v, ref_l = jax.vmap(rlf_all)(thetas)
+
+    monkeypatch.setattr(lk, "_CHOL_NATIVE_MAX", 64)
+    for spec in ("blk:solve:128:highest", "blk:inverse:128:high"):
+        monkeypatch.setenv("EGOBOX_CHOL", spec)
+        v, l = jax.vmap(rlf_all)(thetas)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(ref_v), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.tril(np.asarray(l)), np.tril(np.asarray(ref_l)),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
 def test_tri_inverse_lower_exact():
     for n in (100, 700, 1500):
         r = _spd(n, seed=n)
