@@ -392,8 +392,10 @@ def fit_gp(
     value AND analytic gradient) runs distributed on the row shards
     (parallel/dist_fit.py: block-cyclic Cholesky, sharded trace
     contraction), so no single device ever holds the (n, n) factorization
-    during optimization. Requires a full mask, no KPLS, and n divisible by
-    the mesh size; ``dist_bp`` overrides the Cholesky panel size. The
+    during optimization. Requires a full mask and n divisible by the mesh
+    size (KPLS is supported: the PLS rotations are replicated and the MLE
+    runs in the reduced theta space); ``dist_bp`` overrides the Cholesky
+    panel size. The
     returned model is then assembled at the optimized theta (one O(n^3)
     single-device factorization for the predict state).
 
@@ -467,8 +469,6 @@ def fit_gp(
             raise ValueError(
                 "fit_gp(mesh=...) requires a full mask (no padding)"
             )
-        if kpls_dim is not None:
-            raise ValueError("fit_gp(mesh=...) does not support KPLS")
         from ..parallel.dist_fit import fit_theta_distributed
 
         theta_dist, _ = fit_theta_distributed(
@@ -478,7 +478,7 @@ def fit_gp(
             theta_bounds=np.stack([bounds_lo, bounds_up], axis=1),
             max_iters=max_iters, nugget=nugget, bp=dist_bp,
             subsample_warmstart=subsample_warmstart,
-            polish_iters=polish_iters, seed=seed,
+            polish_iters=polish_iters, seed=seed, kpls_dim=kpls_dim,
         )
         theta0 = jnp.clip(theta_dist, bounds_lo, bounds_up)
         theta_fixed = True

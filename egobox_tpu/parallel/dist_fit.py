@@ -28,8 +28,10 @@ ICI mesh exists for. Single-device parity is asserted in
 tests/test_dist_fit.py (same theta, same gradient, to fp tolerance).
 
 Restrictions (documented, enforced): full mask (no padding), n divisible by
-mesh_size * panel size. KPLS rotations (w_star) are threaded through the
-kernel calls but the distributed path is exercised with w_star=None.
+mesh_size * panel size. KPLS is supported: the PLS rotations (w_star) are
+computed once on the replicated raw data and threaded through the sharded
+Gram/adjoint as a replicated operand, so the MLE runs in the reduced theta
+space (parity test vs the single-device KPLS fit in tests/test_dist_fit.py).
 """
 
 from __future__ import annotations
@@ -277,11 +279,17 @@ def make_neg_rlf_distributed(
     trend: str = "constant",
     nugget: Optional[float] = None,
     bp: Optional[int] = None,
+    kpls_dim: Optional[int] = None,
 ):
     """fun_and_res / grad_from_res pair in log10-theta space for
     minimize_lbfgsb — the distributed twin of
     gp/likelihood.make_neg_rlf_residual_api. Normalization (ddof=1, parity
-    with fit_gp_core._masked_norm on a full mask) happens here once."""
+    with fit_gp_core._masked_norm on a full mask) happens here once.
+
+    ``kpls_dim``: fit in the KPLS-reduced theta space — the PLS rotations
+    are computed once on the (replicated) raw data, exactly as the
+    single-device fit does (gp/fit.py fit_gp_core), and threaded through
+    the sharded Gram/adjoint as a replicated (nx, kpls_dim) operand."""
     x = jnp.atleast_2d(x)
     dtype = x.dtype
     y = jnp.asarray(y, dtype=dtype)
@@ -297,6 +305,12 @@ def make_neg_rlf_distributed(
         nugget = 100.0 * float(jnp.finfo(dtype).eps)
     nugget = float(nugget)
 
+    w_star = None
+    if kpls_dim is not None:
+        from ..gp.kpls import pls_rotations
+
+        w_star = pls_rotations(x, y, kpls_dim)
+
     x_mean, x_std = jnp.mean(x, axis=0), jnp.std(x, axis=0, ddof=1)
     x_std = jnp.where(x_std <= 0, 1.0, x_std)
     y_mean, y_std = jnp.mean(y, axis=0), jnp.std(y, axis=0, ddof=1)
@@ -308,7 +322,7 @@ def make_neg_rlf_distributed(
         theta = 10.0**t_log10
         rlf, (l_feed, resid, s2) = dist_likelihood_parts(
             mesh, x_norm, y_norm, theta,
-            corr=corr, trend=trend, nugget=nugget, bp=bp,
+            corr=corr, trend=trend, nugget=nugget, bp=bp, w_star=w_star,
         )
         return -rlf, (theta, l_feed, resid, s2)
 
@@ -316,6 +330,7 @@ def make_neg_rlf_distributed(
         theta, l_feed, resid, s2 = res
         dphi = dist_grad_theta(
             mesh, x_norm, theta, l_feed, resid, s2, corr=corr, bp=bp,
+            w_star=w_star,
         )
         # d(-rlf)/dt through theta = 10^t: the ln10 factors cancel
         # (cf. make_neg_rlf_residual_api.grad_from_res)
@@ -340,6 +355,7 @@ def fit_theta_distributed(
     subsample_warmstart: Optional[int] = None,
     polish_iters: int = 5,
     seed: int = 42,
+    kpls_dim: Optional[int] = None,
 ):
     """Distributed full-data MLE for theta: optional single-device
     multistart warm start on an m-point subsample, then an L-BFGS polish
@@ -362,13 +378,14 @@ def fit_theta_distributed(
     if y.ndim == 1:
         y = y[:, None]
     n, nx = x.shape
+    dim = kpls_dim if kpls_dim is not None else nx
 
     tb = theta_bounds if theta_bounds is not None else (
         GP_DEFAULT_THETA_BOUNDS
     )
     tb = jnp.asarray(tb, dtype=dtype)
     if tb.ndim == 1:
-        tb = jnp.broadcast_to(tb[None, :], (nx, 2))
+        tb = jnp.broadcast_to(tb[None, :], (dim, 2))
     lo10, up10 = jnp.log10(tb[:, 0]), jnp.log10(tb[:, 1])
 
     if theta0 is None and subsample_warmstart and n > subsample_warmstart:
@@ -377,15 +394,17 @@ def fit_theta_distributed(
         m0 = fit_gp(
             x[idx], y[idx], corr=corr, trend=trend,
             theta_bounds=theta_bounds, nugget=nugget, seed=seed,
+            kpls_dim=kpls_dim,
         )
         theta0 = jnp.clip(m0.theta, tb[:, 0], tb[:, 1])
         max_iters = polish_iters
     elif theta0 is None:
-        theta0 = jnp.full((nx,), GP_DEFAULT_THETA_INIT, dtype)
-    theta0 = jnp.broadcast_to(jnp.asarray(theta0, dtype), (nx,))
+        theta0 = jnp.full((dim,), GP_DEFAULT_THETA_INIT, dtype)
+    theta0 = jnp.broadcast_to(jnp.asarray(theta0, dtype), (dim,))
 
     fun_and_res, grad_from_res = make_neg_rlf_distributed(
         mesh, x, y, corr=corr, trend=trend, nugget=nugget, bp=bp,
+        kpls_dim=kpls_dim,
     )
 
     res = minimize_lbfgsb(

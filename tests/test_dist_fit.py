@@ -176,7 +176,24 @@ def test_fit_gp_mesh_input_validation(mesh):
         m = np.ones(64, bool)
         m[:5] = False
         fit_gp(x, y, mesh=mesh, mask=jnp.asarray(m))
-    with pytest.raises(ValueError, match="KPLS"):
-        fit_gp(x, y, mesh=mesh, kpls_dim=1)
     with pytest.raises(ValueError, match="divisible"):
         fit_gp(x[:63], y[:63], mesh=mesh)
+
+
+def test_fit_gp_mesh_kpls_matches_single_device(mesh):
+    """KPLS on the distributed path (ROADMAP r4 parity item): the MLE runs
+    in the reduced theta space with replicated PLS rotations — same theta
+    and likelihood as the single-device KPLS fit."""
+    from egobox_tpu.gp.fit import fit_gp
+
+    x, y = _problem(n=128, d=5, seed=13)
+    m_ref = fit_gp(x, y, n_start=0, max_iters=25, kpls_dim=2)
+    m_dist = fit_gp(x, y, n_start=0, max_iters=25, kpls_dim=2, mesh=mesh)
+    assert m_dist.theta.shape == (2,)
+    np.testing.assert_allclose(
+        np.asarray(m_dist.theta), np.asarray(m_ref.theta),
+        rtol=5e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(m_dist.likelihood), float(m_ref.likelihood), rtol=1e-4
+    )
