@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..doe.lhs import maximin_lhs
-from ..optim.lbfgsb import minimize_lbfgsb
+from ..optim.lbfgsb import minimize_lbfgsb, minimize_tr
 from .gp import GpModel
 from .kpls import pls_rotations
 from .likelihood import (
@@ -153,7 +153,7 @@ def _warmstart_theta(
     jax.jit,
     static_argnames=(
         "corr", "trend", "kpls_dim", "n_start", "max_iters", "sub_m",
-        "polish_iters", "residual", "grad_probes",
+        "polish_iters", "residual", "grad_probes", "polish_tr",
     ),
 )
 def _fit_mf_fused(
@@ -175,6 +175,7 @@ def _fit_mf_fused(
     nugget,
     residual: bool,
     grad_probes: int,
+    polish_tr: bool = False,
 ) -> GpModel:
     """The default multi-fidelity recipe (subsample draw -> multistart
     subfit -> full-data polish) as ONE compiled program. The host version
@@ -200,7 +201,8 @@ def _fit_mf_fused(
         x, y, full_mask, theta_w, bounds_lo, bounds_up, active, key,
         corr=corr, trend=trend, kpls_dim=kpls_dim, n_start=0,
         max_iters=polish_iters, fixed=False, nugget=nugget,
-        residual_api=residual, grad_probes=grad_probes,
+        residual_api=residual or polish_tr, grad_probes=grad_probes,
+        tr=polish_tr,
     )
 
 
@@ -208,7 +210,7 @@ def _fit_mf_fused(
     jax.jit,
     static_argnames=(
         "corr", "trend", "kpls_dim", "n_start", "max_iters", "fixed",
-        "ls_batch", "residual_api", "grad_probes",
+        "ls_batch", "residual_api", "grad_probes", "tr",
     ),
 )
 def fit_gp_core(
@@ -231,6 +233,7 @@ def fit_gp_core(
     ls_batch: int = 0,
     residual_api: bool = False,
     grad_probes: int = 0,
+    tr: bool = False,
 ) -> GpModel:
     n, nx = x.shape
     dtype = x.dtype
@@ -283,12 +286,22 @@ def fit_gp_core(
                 corr, trend, x_norm, y_norm, y_std, w_star, nugget, mask,
                 stoch_probes=grad_probes,
             )
-            solve = lambda t: minimize_lbfgsb(  # noqa: E731
-                lambda tt: fun_and_res(tt)[0], t, lo, up,
-                max_iters=max_iters, ls_batch=ls_batch,
-                fun_and_res=fun_and_res, grad_from_res=grad_from_res,
-                final_grad=False,
-            )
+            if tr:
+                # trust-region: ONE forward per iteration (accepted or
+                # not) vs Armijo's ~3 trial forwards — the polish phase
+                # is line-search-trial dominated (tools/prof_r3b.py)
+                solve = lambda t: minimize_tr(  # noqa: E731
+                    t, lo, up, fun_and_res=fun_and_res,
+                    grad_from_res=grad_from_res, max_iters=max_iters,
+                    final_grad=False,
+                )
+            else:
+                solve = lambda t: minimize_lbfgsb(  # noqa: E731
+                    lambda tt: fun_and_res(tt)[0], t, lo, up,
+                    max_iters=max_iters, ls_batch=ls_batch,
+                    fun_and_res=fun_and_res, grad_from_res=grad_from_res,
+                    final_grad=False,
+                )
         else:
             neg_rlf_theta = make_neg_reduced_likelihood(
                 corr, trend, x_norm, y_norm, y_std, w_star, nugget, mask,
@@ -375,6 +388,7 @@ def fit_gp(
     dist_bp: Optional[int] = None,
     grad_probes: int = 0,
     polish_residual: Optional[bool] = None,
+    polish_tr: bool = False,
 ) -> GpModel:
     """User-facing fit (ref: GpParams + Fit, gp/src/algorithm.rs:785-980).
 
@@ -414,6 +428,13 @@ def fit_gp(
     rank_warmstart mode, False otherwise: measured fastest end-to-end on
     v5e with the exact adjoint; re-measure when combining with
     ``grad_probes``).
+
+    ``polish_tr``: run the full-data polish with the trust-region L-BFGS
+    (optim/lbfgsb.minimize_tr) instead of Armijo backtracking — exactly
+    one O(n^3) forward per polish iteration instead of ~3 line-search
+    trials (the measured dominant cost of the polish phase). Implies the
+    residual routing. Only affects the ``subsample_warmstart`` polish;
+    plain fits keep the line search (whose trials are cheap at small n).
     """
     x = jnp.asarray(x)
     dtype = x.dtype
@@ -554,16 +575,22 @@ def fit_gp(
                 n_start=n_start, max_iters=max_iters,
                 sub_m=int(subsample_warmstart), polish_iters=polish_iters,
                 nugget=nugget, residual=polish_residual,
-                grad_probes=grad_probes,
+                grad_probes=grad_probes, polish_tr=polish_tr,
             )
         else:
+            # polish_tr only applies to a polish phase (n_start was zeroed
+            # by the warm-start block above when one ran)
+            in_polish = bool(
+                polish_tr and subsample_warmstart and n_start == 0
+            )
             model = fit_gp_core(
                 x, y, mask, theta0, bounds_lo, bounds_up, active_mask,
                 key,
                 corr=corr, trend=trend, kpls_dim=kpls_dim,
                 n_start=n_start, max_iters=max_iters, fixed=theta_fixed,
                 nugget=nugget,
-                residual_api=polish_residual, grad_probes=grad_probes,
+                residual_api=polish_residual or in_polish,
+                grad_probes=grad_probes, tr=in_polish,
             )
         if bool(jnp.isfinite(model.likelihood)):
             return model

@@ -1,19 +1,12 @@
-"""Real-TPU A/B of n=10k f32 Cholesky variants (ROADMAP perf item 1).
+"""Real-TPU micro-breakdown of the n=10k Cholesky (ROADMAP perf item 1).
 
-Hypotheses batched into one session (CLAUDE.md: each TPU compile is
-minutes via the remote helper):
+Decides where a custom kernel could pay: is blocked_cholesky's remaining
+cost in (a) the 10 small b x b panel factorizations (XLA small-chol
+latency), (b) the sub-diagonal triangular solve / inverse-GEMM, or
+(c) the trailing-update GEMMs? Each phase is timed standalone with a
+host-sync (float of a scalar pulled from the result) per CLAUDE.md.
 
-  A. XLA native jnp.linalg.cholesky            (baseline, 48 ms round 3)
-  B. blocked_cholesky panel="solve"  b=1024    (50 ms round 3)
-  C. blocked_cholesky panel="inverse" b=1024   (moves the ~n^2 b panel
-     flops from triangular_solve (~4.7 TFLOP/s) onto the MXU)
-  D. blocked_cholesky panel="inverse" b=2048
-  E. full likelihood forward with each chol variant (the actual payoff)
-
-Every timing forces a host sync (float of a scalar pulled from the
-result); fresh SPD data per timed call so no caching flatters a variant.
-
-Run: timeout 3600 python tools/prof_chol.py
+Run contention-free:  timeout 3600 python tools/prof_chol.py
 """
 
 import sys
@@ -23,87 +16,106 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-import os  # noqa: E402
-
-os.environ.setdefault("EGOBOX_TPU_NO_X64", "1")
-
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+from jax.scipy.linalg import solve_triangular  # noqa: E402
 
-from egobox_tpu.ops.block_linalg import blocked_cholesky  # noqa: E402
+from egobox_tpu.ops.block_linalg import (  # noqa: E402
+    blocked_cholesky,
+    tri_inverse_lower,
+)
 
-N = 10_000
+N = 10_240
 DT = jnp.float32
-REPS = 4
 
 
-def make_spd(seed):
-    """Fresh SPD matrix shaped like the GP correlation matrix: unit
-    diagonal, off-diagonal decay, Gershgorin-safe jitter."""
-    rng = np.random.default_rng(seed)
-    x = rng.uniform(size=(N, 10)).astype(np.float32)
-    return x
+def spd(key, n):
+    a = jax.random.normal(key, (n, n), DT) / np.sqrt(n)
+    r = a @ a.T + 2.0 * jnp.eye(n, dtype=DT)
+    return r
 
 
-@jax.jit
-def corr_mat(x):
-    d2 = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
-    r = jnp.exp(-5.0 * d2)
-    rowsum = jnp.max(jnp.sum(jnp.abs(r), axis=1))
-    return r + (1e-3 * rowsum) * jnp.eye(N, dtype=r.dtype)
-
-
-variants = {
-    "xla_native": jax.jit(jnp.linalg.cholesky),
-    "blk_solve_1024": jax.jit(
-        lambda r: blocked_cholesky(r, block=1024, panel="solve")
-    ),
-    "blk_inv_1024": jax.jit(
-        lambda r: blocked_cholesky(r, block=1024, panel="inverse")
-    ),
-    "blk_inv_2048": jax.jit(
-        lambda r: blocked_cholesky(r, block=2048, panel="inverse")
-    ),
-    "blk_inv_512": jax.jit(
-        lambda r: blocked_cholesky(r, block=512, panel="inverse")
-    ),
-}
-
-
-def main():
-    xs = [jnp.asarray(make_spd(s)) for s in range(REPS + 1)]
-    rs = [corr_mat(x) for x in xs]
-    float(rs[0][0, 0])  # materialize
-
-    # reference factor for accuracy deltas
-    l_ref = np.asarray(variants["xla_native"](rs[0]))
-    logdet_ref = 2.0 * np.sum(np.log(np.diag(l_ref)))
-
-    for name, fn in variants.items():
+def timeit(name, fn, *args, reps=3):
+    f = jax.jit(fn)
+    out = f(*args)
+    float(jnp.ravel(out if not isinstance(out, tuple) else out[0])[0])
+    ts = []
+    for _ in range(reps):
         t0 = time.perf_counter()
-        l0 = fn(rs[0])
-        logdet = 2.0 * float(jnp.sum(jnp.log(jnp.diag(l0))))
-        t_compile = time.perf_counter() - t0
-        ts = []
-        for i in range(1, REPS + 1):
-            t0 = time.perf_counter()
-            li = fn(rs[i])
-            float(li[N - 1, N - 1])  # host sync
-            ts.append(time.perf_counter() - t0)
-        # accuracy: logdet is the quantity the likelihood consumes;
-        # also max |L - L_ref| on a probe row
-        dlogdet = abs(logdet - logdet_ref) / abs(logdet_ref)
-        row_err = float(
-            jnp.max(jnp.abs(l0[N - 1, :] - jnp.asarray(l_ref[N - 1, :])))
-        )
-        print(
-            f"{name:16s} best {min(ts)*1e3:7.1f} ms  "
-            f"(all {[f'{t*1e3:.1f}' for t in ts]})  "
-            f"compile {t_compile:.1f}s  dlogdet {dlogdet:.2e}  "
-            f"row_err {row_err:.2e}",
-            flush=True,
-        )
+        out = f(*args)
+        float(jnp.ravel(out if not isinstance(out, tuple) else out[0])[0])
+        ts.append(time.perf_counter() - t0)
+    print(f"{name:42s} {min(ts) * 1e3:8.2f} ms", flush=True)
+    return min(ts)
 
 
 if __name__ == "__main__":
-    main()
+    print(f"backend={jax.default_backend()} n={N}", flush=True)
+    key = jax.random.key(0)
+    r = spd(key, N)
+    l = jnp.linalg.cholesky(r)
+
+    timeit("native chol n=10240", jnp.linalg.cholesky, r)
+    for b in (1024, 2048):
+        timeit(
+            f"blocked b={b} solve high",
+            lambda r, b=b: blocked_cholesky(
+                r, block=b, precision=jax.lax.Precision.HIGH, panel="solve"
+            ),
+            r,
+        )
+        timeit(
+            f"blocked b={b} inverse high",
+            lambda r, b=b: blocked_cholesky(
+                r, block=b, precision=jax.lax.Precision.HIGH,
+                panel="inverse",
+            ),
+            r,
+        )
+
+    # phase (a): the 10 sequential b x b panel factorizations alone
+    for b in (1024, 2048):
+        nb = N // b
+        diag = jnp.stack([r[k * b:(k + 1) * b, k * b:(k + 1) * b]
+                          for k in range(nb)])
+
+        def panels_seq(diag):
+            def body(c, blk):
+                lk = jnp.linalg.cholesky(blk + c * 0.0)
+                return c + lk[0, 0], lk
+            return jax.lax.scan(body, jnp.asarray(0.0, DT), diag)[0]
+
+        timeit(f"{nb} sequential chol({b}) (scan)", panels_seq, diag)
+
+    # single small chols (latency floor)
+    for b in (512, 1024, 2048):
+        rb = spd(jax.random.key(b), b)
+        timeit(f"single chol({b})", jnp.linalg.cholesky, rb)
+
+    # phase (b): one full-height panel apply, b=1024, rows=N-1024
+    lkk = jnp.linalg.cholesky(r[:1024, :1024])
+    below = r[1024:, :1024]
+    timeit(
+        "panel apply solve (9216 rhs)",
+        lambda lkk, below: solve_triangular(lkk, below.T, lower=True).T,
+        lkk, below,
+    )
+
+    def apply_inv(lkk, below):
+        li = tri_inverse_lower(lkk, jax.lax.Precision.HIGH, block=256)
+        return jnp.matmul(below, li.T, precision=jax.lax.Precision.HIGH)
+
+    timeit("panel apply inverse+gemm", apply_inv, lkk, below)
+
+    # phase (c): the dominant trailing GEMM (left-looking, k=5 of 10)
+    left = jax.random.normal(jax.random.key(2), (N - 5 * 1024, 5 * 1024),
+                             DT)
+    top = jax.random.normal(jax.random.key(3), (1024, 5 * 1024), DT)
+    for prec in ("high", "highest"):
+        p = dict(high=jax.lax.Precision.HIGH,
+                 highest=jax.lax.Precision.HIGHEST)[prec]
+        timeit(
+            f"trailing gemm (5120x{N - 5120})x1024 {prec}",
+            lambda left, top, p=p: jnp.matmul(left, top.T, precision=p),
+            left, top,
+        )
