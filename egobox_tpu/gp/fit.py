@@ -154,6 +154,7 @@ def _warmstart_theta(
     static_argnames=(
         "corr", "trend", "kpls_dim", "n_start", "max_iters", "sub_m",
         "polish_iters", "residual", "grad_probes", "polish_tr",
+        "sub_draws", "sub_m2",
     ),
 )
 def _fit_mf_fused(
@@ -176,6 +177,8 @@ def _fit_mf_fused(
     residual: bool,
     grad_probes: int,
     polish_tr: bool = False,
+    sub_draws: int = 1,
+    sub_m2: int = 0,
 ) -> GpModel:
     """The default multi-fidelity recipe (subsample draw -> multistart
     subfit -> full-data polish) as ONE compiled program. The host version
@@ -185,17 +188,56 @@ def _fit_mf_fused(
     dispatch model), which is pure latency at n=10k. Key-stream order
     matches the host recipe exactly (split -> permutation(ksub) ->
     subfit(key) -> polish(key, unused at n_start=0)).
-    Kill-switch: EGOBOX_NO_FUSED_FIT=1."""
+    Kill-switch: EGOBOX_NO_FUSED_FIT=1.
+
+    ``sub_draws > 1`` / ``sub_m2 > 0`` enable the MULTI-DRAW warm start
+    (ROADMAP "mixed subsample sizes"): the subsample basin is a seed
+    lottery (measured n=10k worst-seed likelihood deficits of 2.4-2.7%
+    from one 2k draw), so draw ``sub_draws`` independent ``sub_m``-point
+    subsamples (one vmapped subfit advances all draws in lockstep) plus
+    optionally one ``sub_m2``-point draw at a different fidelity, then
+    polish ALL candidates on the full data as one vmapped multi-init
+    solve and keep the best final likelihood — the polish's own exact
+    full-data objective does the basin selection, no separate ranking
+    forwards. Candidate count stays small (2-4): each polish lane carries
+    an (n, n) factorization."""
     n = x.shape[0]
     ksub, key = jax.random.split(key)
-    idx = jax.random.permutation(ksub, n)[:sub_m]
     sub_mask = jnp.ones((sub_m,), dtype=bool)
-    m0 = fit_gp_core(
-        x[idx], y[idx], sub_mask, theta0, bounds_lo, bounds_up, active,
-        key, corr=corr, trend=trend, kpls_dim=kpls_dim, n_start=n_start,
-        max_iters=max_iters, fixed=False, nugget=nugget,
-    )
-    theta_w = jnp.clip(m0.theta, bounds_lo, bounds_up)
+
+    def subfit(k_draw, k_fit):
+        idx = jax.random.permutation(k_draw, n)[:sub_m]
+        m0 = fit_gp_core(
+            x[idx], y[idx], sub_mask, theta0, bounds_lo, bounds_up,
+            active, k_fit, corr=corr, trend=trend, kpls_dim=kpls_dim,
+            n_start=n_start, max_iters=max_iters, fixed=False,
+            nugget=nugget,
+        )
+        return jnp.clip(m0.theta, bounds_lo, bounds_up)
+
+    if sub_draws == 1 and not sub_m2:
+        # default single-draw recipe — key stream identical to the host
+        # (EGOBOX_NO_FUSED_FIT) recipe: split -> permutation(ksub) ->
+        # subfit(key)
+        theta_w = subfit(ksub, key)
+    else:
+        dkeys = jax.random.split(ksub, 2 * sub_draws)
+        theta_w = jax.vmap(subfit)(
+            dkeys[:sub_draws], dkeys[sub_draws:]
+        )  # (k, dim)
+        if sub_m2:
+            k2d, k2f = jax.random.split(jax.random.fold_in(ksub, 7))
+            idx2 = jax.random.permutation(k2d, n)[:sub_m2]
+            m2 = fit_gp_core(
+                x[idx2], y[idx2], jnp.ones((sub_m2,), dtype=bool), theta0,
+                bounds_lo, bounds_up, active, k2f,
+                corr=corr, trend=trend, kpls_dim=kpls_dim,
+                n_start=n_start, max_iters=max_iters, fixed=False,
+                nugget=nugget,
+            )
+            theta2 = jnp.clip(m2.theta, bounds_lo, bounds_up)
+            theta_w = jnp.concatenate([theta_w, theta2[None]], axis=0)
+
     full_mask = jnp.ones((n,), dtype=bool)
     return fit_gp_core(
         x, y, full_mask, theta_w, bounds_lo, bounds_up, active, key,
@@ -254,20 +296,35 @@ def fit_gp_core(
     if fixed:
         theta_opt = theta0
     else:
-        dim = theta0.shape[0]
+        dim = theta0.shape[-1]
         lo = jnp.log10(bounds_lo)
         up = jnp.log10(bounds_up)
         t0 = jnp.log10(theta0)
         # inactive components: collapse the box so projection pins them
+        # (broadcasts per-lane when theta0 is a (k, dim) init stack)
         lo = jnp.where(active, lo, t0)
         up = jnp.where(active, up, t0)
 
-        if n_start > 0:
+        if theta0.ndim == 2:
+            # multi-init stack (multi-draw warm start): each lane keeps
+            # its own collapsed box
+            if n_start > 0:
+                raise ValueError(
+                    "fit_gp_core: a (k, dim) theta0 init stack requires "
+                    "n_start=0 (LHS seeding and multi-init are exclusive)"
+                )
+            inits = t0
+            lo_l, up_l = lo, up
+        elif n_start > 0:
             seeds = maximin_lhs(key, n_start, dim, False, 5, dtype)
             seeds = lo[None, :] + seeds * (up - lo)[None, :]
             inits = jnp.concatenate([t0[None, :], seeds], axis=0)
+            lo_l = jnp.broadcast_to(lo, inits.shape)
+            up_l = jnp.broadcast_to(up, inits.shape)
         else:
             inits = t0[None, :]
+            lo_l = lo[None, :]
+            up_l = up[None, :]
 
         # objective with analytic adjoint (no autodiff through Cholesky).
         # Two routings with identical math:
@@ -290,13 +347,13 @@ def fit_gp_core(
                 # trust-region: ONE forward per iteration (accepted or
                 # not) vs Armijo's ~3 trial forwards — the polish phase
                 # is line-search-trial dominated (tools/prof_r3b.py)
-                solve = lambda t: minimize_tr(  # noqa: E731
+                solve = lambda t, lo, up: minimize_tr(  # noqa: E731
                     t, lo, up, fun_and_res=fun_and_res,
                     grad_from_res=grad_from_res, max_iters=max_iters,
                     final_grad=False,
                 )
             else:
-                solve = lambda t: minimize_lbfgsb(  # noqa: E731
+                solve = lambda t, lo, up: minimize_lbfgsb(  # noqa: E731
                     lambda tt: fun_and_res(tt)[0], t, lo, up,
                     max_iters=max_iters, ls_batch=ls_batch,
                     fun_and_res=fun_and_res, grad_from_res=grad_from_res,
@@ -314,12 +371,12 @@ def fit_gp_core(
             # final_grad=False: the solve's gradients are discarded after
             # argmin — skipping the last iteration's O(n^3) adjoint saves
             # a full trace-term evaluation per restart
-            solve = lambda t: minimize_lbfgsb(  # noqa: E731
+            solve = lambda t, lo, up: minimize_lbfgsb(  # noqa: E731
                 neg_rlf, t, lo, up, max_iters=max_iters,
                 ls_batch=ls_batch, final_grad=False,
             )
 
-        res = jax.vmap(solve)(inits)
+        res = jax.vmap(solve)(inits, lo_l, up_l)
         best = jnp.argmin(res.fun)
         theta_opt = 10.0 ** res.x[best]
         if residual_api:
@@ -389,6 +446,8 @@ def fit_gp(
     grad_probes: int = 0,
     polish_residual: Optional[bool] = None,
     polish_tr: bool = False,
+    sub_draws: int = 1,
+    subsample_warmstart2: Optional[int] = None,
 ) -> GpModel:
     """User-facing fit (ref: GpParams + Fit, gp/src/algorithm.rs:785-980).
 
@@ -435,6 +494,15 @@ def fit_gp(
     trials (the measured dominant cost of the polish phase). Implies the
     residual routing. Only affects the ``subsample_warmstart`` polish;
     plain fits keep the line search (whose trials are cheap at small n).
+
+    ``sub_draws`` / ``subsample_warmstart2``: multi-draw warm start (the
+    subsample basin is a seed lottery): run the subsample multistart on
+    ``sub_draws`` independent draws of ``subsample_warmstart`` points
+    (one vmapped program), plus optionally one draw of
+    ``subsample_warmstart2`` points at a second fidelity; ALL candidate
+    thetas are then polished on the full data as one vmapped multi-init
+    solve and the best final likelihood wins. Fused-recipe only (the
+    EGOBOX_NO_FUSED_FIT / rank_warmstart paths fall back to one draw).
     """
     x = jnp.asarray(x)
     dtype = x.dtype
@@ -518,6 +586,14 @@ def fit_gp(
             # and subsample draw happen in-program, same stream order
             use_fused_recipe = True
         else:
+            if sub_draws > 1 or subsample_warmstart2:
+                import warnings
+
+                warnings.warn(
+                    "fit_gp: sub_draws/subsample_warmstart2 are only "
+                    "honored by the fused recipe — falling back to a "
+                    "single subsample draw", stacklevel=2,
+                )
             ksub, key = jax.random.split(key)
         if use_fused_recipe:
             pass
@@ -576,6 +652,8 @@ def fit_gp(
                 sub_m=int(subsample_warmstart), polish_iters=polish_iters,
                 nugget=nugget, residual=polish_residual,
                 grad_probes=grad_probes, polish_tr=polish_tr,
+                sub_draws=int(sub_draws),
+                sub_m2=int(subsample_warmstart2 or 0),
             )
         else:
             # polish_tr only applies to a polish phase (n_start was zeroed

@@ -211,3 +211,40 @@ def test_unrecoverable_fit_raises():
     yt = jnp.array([0.0, 1.0, 1.5, 0.9, 1.0])
     with pytest.raises(gp.GpFitError, match="non-finite"):
         gp.fit_gp(xt, yt, n_start=1, max_iters=3)
+
+
+def test_multidraw_warmstart():
+    """Multi-draw warm start (sub_draws / subsample_warmstart2): all
+    candidate thetas are polished on the full data and the best final
+    likelihood wins, so the result can never be worse than the
+    single-draw recipe by more than optimizer noise (the polish's exact
+    full-data objective does the basin selection)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-2.0, 2.0, (700, 4)))
+    y = jnp.asarray(
+        (np.sum(np.sin(2.0 * np.asarray(x)), axis=1)
+         + 0.1 * rng.standard_normal(700))[:, None]
+    )
+    kw = dict(n_start=1, max_iters=6, nugget=1e-6,
+              subsample_warmstart=200, polish_iters=3, polish_tr=True,
+              seed=2)
+    m1 = gp.fit_gp(x, y, **kw)
+    m3 = gp.fit_gp(x, y, sub_draws=2, subsample_warmstart2=400, **kw)
+    lk1, lk3 = float(m1.likelihood), float(m3.likelihood)
+    assert np.isfinite(lk3)
+    assert lk3 >= lk1 - 0.005 * abs(lk1), (lk1, lk3)
+
+
+def test_multi_init_requires_no_lhs_seeds():
+    """A (k, dim) theta0 init stack is exclusive with LHS multistart."""
+    from egobox_tpu.gp.fit import fit_gp_core
+
+    x = jnp.zeros((8, 2))
+    y = jnp.zeros((8, 1))
+    mask = jnp.ones((8,), bool)
+    with pytest.raises(ValueError, match="init stack"):
+        fit_gp_core(
+            x, y, mask, jnp.full((3, 2), 0.1), jnp.full((2,), 1e-2),
+            jnp.full((2,), 10.0), jnp.ones((2,), bool),
+            jax.random.key(0), n_start=2,
+        )
