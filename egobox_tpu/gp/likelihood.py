@@ -45,7 +45,11 @@ def _cholesky(r):
       trailing updates are explicit MXU GEMMs at the given precision —
       ``high`` (bf16x3) halves the dominant GEMM cost vs ``highest`` with
       ~1e-6 relative factor error, harmless under the Gershgorin-scaled
-      nugget (see _build_r).
+      nugget (see _build_r);
+    - ``pallas:<block>:<prec>`` (e.g. ``pallas:256:high``): the Pallas
+      panel-factorization variant (ops/pallas_chol.py) — fused in-VMEM
+      diagonal factorization + MXU panel apply, XLA trailing GEMMs at the
+      given precision. f32 TPU path only.
 
     Small matrices (n <= 4096, i.e. every bucketed EGO fit) always take the
     native path.
@@ -55,14 +59,23 @@ def _cholesky(r):
     spec = os.environ.get("EGOBOX_CHOL", "native")
     if spec == "native" or r.shape[-1] <= _CHOL_NATIVE_MAX:
         return jnp.linalg.cholesky(r)
-    _tag, panel, block, prec = spec.split(":")
-    from ..ops.block_linalg import blocked_cholesky
-
+    parts = spec.split(":")
     precision = {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
-    }[prec]
+    }[parts[-1]]
+    if parts[0] == "pallas":
+        from ..ops.pallas_chol import pallas_cholesky
+
+        # compiled Mosaic path on TPU; interpreter elsewhere (CPU tests)
+        return pallas_cholesky(
+            r, block=int(parts[1]), precision=precision,
+            interpret=jax.default_backend() != "tpu",
+        )
+    _tag, panel, block = parts[:3]
+    from ..ops.block_linalg import blocked_cholesky
+
     return blocked_cholesky(
         r, block=int(block), precision=precision, panel=panel
     )

@@ -252,6 +252,29 @@ def test_batch_fuzz_all_nan_doe_then_finite():
         assert r.x_doe.shape[0] >= eb.default_n_doe()
 
 
+def test_batch_fuzz_nan_region():
+    """Half the domain evaluates to NaN (hard failure region): imputation
+    (worst finite + 3 sigma) must keep every surrogate fit alive and the
+    optimizer must still find the finite-region optimum of xsinx
+    (x* ~ 18.9 lies in the finite half)."""
+
+    def xsinx_nan(x):
+        x = np.atleast_2d(x)
+        y = xsinx(x)
+        y[x[:, 0] < 8.0] = np.nan  # failure region away from the optimum
+        return y
+
+    eb = EgorBatch(
+        [xsinx_nan, xsinx_nan], np.array([[0.0, 25.0]]), seed=11,
+        n_start=4, n_doe=6, gp_config=GpConfig(n_start=2, max_eval=8),
+    )
+    results = eb.minimize(max_iters=12)
+    for r in results:
+        assert np.all(np.isfinite(r.y_doe))  # every NaN was imputed
+        assert r.x_opt[0] >= 8.0  # optimum reported from the finite region
+        assert r.y_opt[0] < -10.0  # and it is a real minimum, not a penalty
+
+
 def test_batch_fuzz_constant_plus_nan():
     """Constant objective with sporadic NaNs: duplicate proposals AND
     imputation interact — the retry-then-converge bookkeeping must not
