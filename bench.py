@@ -41,7 +41,8 @@ sync — the axon platform dispatches asynchronously, so we pull a scalar
 result to stop the clock honestly.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"quality_delta_pct", "egor_xsinx_iters_per_s", "egor_g24_iters_per_s"}.
+"quality_delta_pct", "egor_xsinx_iters_per_s", "egor_g24_iters_per_s",
+"egor_xsinx_traced_iters_per_s" (whole-run fused mode, ego/fused_run.py)}.
 vs_baseline = baseline_seconds / measured_seconds (>1 beats the 1 s
 target). Exits non-zero if the quality gate fails.
 """
@@ -112,6 +113,26 @@ def _egor_throughput(constrained: bool, max_iters: int = 20):
     return max_iters / (time.perf_counter() - t0)
 
 
+def _egor_traced_throughput(max_iters: int = 20):
+    """Whole-run fused mode (ego/fused_run.py): the jax-traceable xsinx
+    runs in chunks of iterations per dispatch, so the tunnel roundtrip is
+    paid per CHUNK, not per iteration."""
+    import jax.numpy as jnp
+
+    from egobox_tpu import Egor
+
+    def xsinx_traced(x):
+        return ((x - 3.5) * jnp.sin((x - 3.5) / jnp.pi)).reshape(-1, 1)
+
+    def make(seed):
+        return Egor([[0.0, 25.0]], seed=seed, traced_run=True)
+
+    make(42).minimize(xsinx_traced, max_iters=max_iters)  # compile
+    t0 = time.perf_counter()
+    make(7).minimize(xsinx_traced, max_iters=max_iters)
+    return max_iters / (time.perf_counter() - t0)
+
+
 def main():
     # TPU-native dtype is f32; keep x64 off for the bench path.
     os.environ.setdefault("EGOBOX_TPU_NO_X64", "1")
@@ -148,6 +169,7 @@ def main():
 
     xsinx_ips = _egor_throughput(constrained=False)
     g24_ips = _egor_throughput(constrained=True)
+    traced_ips = _egor_traced_throughput()
 
     baseline_s = 1.0  # north-star target: n=10k fit < 1 s on one v5e
     result = {
@@ -158,6 +180,7 @@ def main():
         "quality_delta_pct": round(worst_delta, 3),
         "egor_xsinx_iters_per_s": round(xsinx_ips, 2),
         "egor_g24_iters_per_s": round(g24_ips, 2),
+        "egor_xsinx_traced_iters_per_s": round(traced_ips, 2),
     }
     print(json.dumps(result))
     print(

@@ -71,6 +71,7 @@ class Egor:
         warm_start: bool = False,
         hot_start: Optional[int] = None,
         seed: Optional[int] = None,
+        traced_run: bool = False,
     ):
         self.xspecs = parse_xspecs(xspecs)
         self.mixint = MixintContext(self.xspecs)
@@ -106,6 +107,13 @@ class Egor:
         self.solver = EgorSolver(
             self.config, self.mixint.continuous_xlimits()
         )
+        #: opt-in whole-run fused mode (ego/fused_run.py): when the
+        #: objective is jax-traceable, chunks of iterations run as ONE XLA
+        #: program — no per-iteration host roundtrip. No reference analog
+        #: (the reference objective is always a host callback). Env
+        #: override: EGOBOX_TRACED_RUN=1 forces it on (when eligible),
+        #: =0 off.
+        self.traced_run = traced_run
 
     # ------------------------------------------------------------------
 
@@ -159,6 +167,12 @@ class Egor:
         if cfg.hot_start is not None and cfg.hot_start > 0:
             max_iters += int(cfg.hot_start)
 
+        if self._use_traced_run(fun, fcstrs, outdir):
+            from .fused_run import run_traced
+
+            state = run_traced(self.solver, state, fun, max_iters)
+            return self._result(state)
+
         recorder = None
         if run_recorder_enabled():
             # structured benchmark-format run log
@@ -208,6 +222,45 @@ class Egor:
         if recorder is not None and outdir:
             recorder.save(outdir)
         return self._result(state)
+
+    def _use_traced_run(self, fun, fcstrs, outdir) -> bool:
+        """Eligibility gate for the whole-run fused mode (ego/fused_run.py)
+        — opt-in (``traced_run=True`` or EGOBOX_TRACED_RUN=1), continuous
+        single-cluster q=1 problems without per-iteration host needs
+        (observers, recorders, fcstr callbacks, TREGO scheduling, mixint
+        casting), and a jax-traceable objective."""
+        env = os.environ.get("EGOBOX_TRACED_RUN")
+        want = (self.traced_run or env == "1") and env != "0"
+        cfg = self.config
+        if not want:
+            return False
+        if (
+            fcstrs
+            or outdir
+            or cfg.trego.activated
+            or self.mixint.is_discrete
+            or cfg.q_points != 1
+            or cfg.q_optmod != 1
+            or run_recorder_enabled()
+            or os.environ.get("EGOR_USE_GP_RECORDER")
+            or not self.solver._fast_path_ok(())
+        ):
+            return False
+        import jax
+
+        from ..config import default_dtype
+
+        try:
+            probe = jax.ShapeDtypeStruct(
+                (1, self.solver.nx), default_dtype()
+            )
+            out = jax.eval_shape(fun, probe)
+            return (
+                hasattr(out, "shape")
+                and tuple(out.shape) == (1, 1 + cfg.n_cstr)
+            )
+        except Exception:
+            return False
 
     def _init_or_resume(self, wfun, wcstrs, outdir, max_iters):
         cfg = self.config

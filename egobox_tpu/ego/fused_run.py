@@ -1,0 +1,296 @@
+"""Whole-run fused Egor: K EGO iterations as ONE XLA program.
+
+The fused single-iteration path (ego/fused_step.py) already collapses one
+iteration to one dispatch + one fetch, so the Egor loop on a
+remote-attached TPU is bound by the per-iteration tunnel roundtrip
+(~40-70 ms measured) while the in-program compute is a few ms. When the
+user's objective is itself jax-traceable, nothing forces a host visit per
+iteration at all: this module runs a CHUNK of K iterations as one
+lax.scan — per step it draws multistart seeds from the current DoE with
+the traceable MiddlePicker, fits the surrogates, optimizes the infill
+criterion, evaluates the objective IN-PROGRAM, imputes non-finite values,
+applies the L1 de-dup/retry rule and appends to the padded DoE buffers.
+One host fetch per chunk returns the per-step rows; the warm-start thetas
+stay on device between chunks.
+
+The reference has no analog — its objective is always a host callback
+(crates/ego/src/egor.rs:142-330); the loop structure mirrored here is
+ego_step/select_next_points (solver_impl.rs:398-640) with these
+documented divergences (all opt-in via ``Egor(traced_run=True)``):
+
+- multistart seeds come from the traceable MiddlePicker keyed on the JAX
+  stream (start_points.middle_picker_starts_traced), not the host numpy
+  Generator — same semantics, different randomness;
+- a duplicate proposal skips the append and the NEXT scan step retries
+  with fresh seeds (the host loop re-draws within the same iteration);
+  ``max_retries`` consecutive duplicates freeze the run (converged),
+  mirroring MAX_POINT_ADDITION_RETRY;
+- the de-dup threshold is 100 * eps of the COMPUTE dtype (f32 on TPU),
+  not of float64 (utils/misc.rs:44-53 uses f64 eps);
+- per-iteration observers/recorders (outdir artifacts, hot-start
+  checkpoints) are not written mid-chunk — Egor.minimize falls back to
+  the host loop when they are requested.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..doe.lhs import maximin_lhs
+from .config import MAX_POINT_ADDITION_RETRY as MAX_RETRIES
+from .fused_step import _select_core
+from .start_points import middle_picker_starts_traced
+
+_RUN_STATICS = (
+    "corr", "trend", "kpls_dim", "gp_n_start", "gp_max_iters", "nugget",
+    "n_cloud", "crit", "cstr_strategy", "n_cstr", "cstr_infill",
+    "optimizer", "ls_batch", "n_iters", "fobj", "n_start", "use_middle",
+    "use_feasibility_first",
+)
+
+
+def _best_fmin(ybuf, mask, cstr_tols, n_cstr):
+    """fmin under the constraint-tolerance ordering: the objective of the
+    row with (min violation-sum, then min objective) — traced mirror of
+    find_result.find_best_result_index (ref: find_result.rs:76-142).
+    Also returns whether any active row is feasible."""
+    inf = jnp.asarray(jnp.inf, ybuf.dtype)
+    obj = jnp.where(mask, ybuf[:, 0], inf)
+    if n_cstr == 0:
+        return jnp.min(obj), jnp.any(mask)
+    c = ybuf[:, 1:1 + n_cstr]
+    over = jnp.maximum(c - cstr_tols[None, :], 0.0)
+    viol = jnp.where(mask, jnp.sum(over, axis=1), inf)
+    vmin = jnp.min(viol)
+    fmin = jnp.min(jnp.where(viol == vmin, obj, inf))
+    feas = jnp.any(mask & (viol == 0.0))
+    return fmin, feas
+
+
+def _impute_row(yk, ybuf, mask):
+    """Non-finite entries of the freshly-evaluated row become a
+    worst-observed penalty per column (max + 3 sigma over the active,
+    always-finite history) — traced mirror of solver.impute_failed_values.
+    """
+    dtype = ybuf.dtype
+    m = mask.astype(dtype)[:, None]
+    cnt = jnp.maximum(jnp.sum(m, axis=0), 1.0)
+    mean = jnp.sum(ybuf * m, axis=0) / cnt
+    var = jnp.sum((ybuf - mean[None, :]) ** 2 * m, axis=0) / cnt
+    colmax = jnp.max(
+        jnp.where(mask[:, None], ybuf, -jnp.inf), axis=0
+    )
+    penalty = colmax + 3.0 * jnp.maximum(jnp.sqrt(var), 1.0)
+    return jnp.where(jnp.isfinite(yk), yk, penalty.astype(dtype))
+
+
+@partial(jax.jit, static_argnames=_RUN_STATICS)
+def fused_run_chunk(
+    xbuf: jnp.ndarray,  # (nb, nx) padded DoE
+    ybuf: jnp.ndarray,  # (nb, m) padded outputs
+    mask: jnp.ndarray,  # (nb,) active rows
+    theta0s: jnp.ndarray,  # (m, dim) warm-start inits
+    theta_lo: jnp.ndarray,
+    theta_up: jnp.ndarray,
+    base_key: jnp.ndarray,  # chunk PRNG key (per-step keys fold in j)
+    lo: jnp.ndarray,  # (nx,) optimization box
+    hi: jnp.ndarray,
+    cstr_tols: jnp.ndarray,  # (n_cstr,)
+    retries0: jnp.ndarray,  # int32: remaining duplicate retries
+    done0: jnp.ndarray,  # bool: run already frozen (converged / target)
+    target: jnp.ndarray,  # scalar: stop when best obj < target
+    *,
+    n_iters: int,
+    fobj,  # jax-traceable (1, nx) -> (1, 1 + n_cstr)
+    n_start: int,
+    use_middle: bool,
+    use_feasibility_first: bool,
+    corr: str,
+    trend: str,
+    kpls_dim,
+    gp_n_start: int,
+    gp_max_iters: int,
+    nugget: float,
+    n_cloud: int,
+    crit: str,
+    cstr_strategy: str,
+    n_cstr: int,
+    cstr_infill: bool,
+    optimizer: str,
+    ls_batch: int = 8,
+):
+    """Run ``n_iters`` EGO iterations in-program. Returns
+    (rows (n_iters, nx + m + 2), theta_last (m, dim)): each row is
+    [x_j, y_j, appended_flag, done_flag] — the host replays the appends to
+    advance its numpy state, so ONE fetch per chunk suffices. The caller
+    must size the buffers with at least ``n_iters`` free slots."""
+    dtype = xbuf.dtype
+    nx = xbuf.shape[1]
+    m = ybuf.shape[1]
+    nb = xbuf.shape[0]
+    n_sub_max = max(nb // 10, 2)
+    dedup_tol = 100.0 * float(jnp.finfo(dtype).eps)
+
+    def step(carry, j):
+        xb, yb, mb, th0, retries, done = carry
+        fmin, feas = _best_fmin(yb, mb, cstr_tols, n_cstr)
+        kj = jax.random.fold_in(base_key, j)
+        kfit, kcloud, kseed = jax.random.split(kj, 3)
+        if use_middle:
+            starts = middle_picker_starts_traced(
+                kseed, xb, mb, lo, hi, n_start, n_sub_max
+            )
+        else:
+            fill = maximin_lhs(kseed, n_start, nx, False, 5, dtype)
+            starts = lo[None, :] + fill * (hi - lo)[None, :]
+        starts = jnp.clip(starts, lo[None, :], hi[None, :])
+        feas_flag = feas if use_feasibility_first else None
+        xk, fk, models = _select_core(
+            xb, yb, mb, th0, theta_lo, theta_up, kfit, kcloud,
+            starts, lo, hi, fmin, cstr_tols, None, feas_flag,
+            corr=corr, trend=trend, kpls_dim=kpls_dim,
+            gp_n_start=gp_n_start, gp_max_iters=gp_max_iters,
+            fixed=False, nugget=nugget, n_cloud=n_cloud, crit=crit,
+            cstr_strategy=cstr_strategy, n_cstr=n_cstr,
+            cstr_infill=cstr_infill, feasibility=True,
+            optimizer=optimizer, ls_batch=ls_batch, fcstr_fns=(),
+        )
+        yk = jnp.asarray(fobj(xk[None, :]), dtype).reshape((m,))
+        yk = _impute_row(yk, yb, mb)
+
+        d = jnp.sum(jnp.abs(xb - xk[None, :]), axis=1)
+        dup = jnp.any(mb & (d < dedup_tol))
+        ok = ~done & ~dup
+        idx = jnp.sum(mb)
+        xb = jnp.where(ok, xb.at[idx].set(xk), xb)
+        yb = jnp.where(ok, yb.at[idx].set(yk), yb)
+        mb = jnp.where(ok, mb.at[idx].set(True), mb)
+        retries = jnp.where(
+            ok, MAX_RETRIES, jnp.where(done, retries, retries - 1)
+        )
+        fmin2, _ = _best_fmin(yb, mb, cstr_tols, n_cstr)
+        done = done | (retries <= 0) | (fmin2 < target)
+        row = jnp.concatenate([
+            xk, yk,
+            ok.astype(dtype)[None],
+            done.astype(dtype)[None],
+        ])
+        return (xb, yb, mb, models.theta, retries, done), row
+
+    (_, _, _, theta_last, _, _), rows = lax.scan(
+        step, (xbuf, ybuf, mask, theta0s, retries0, done0),
+        jnp.arange(n_iters),
+    )
+    return rows, theta_last
+
+
+def run_traced(solver, state, fobj, max_iters: int,
+               chunk_iters: int | None = None):
+    """Drive ``fused_run_chunk`` from the host: per chunk, pad the numpy
+    state into bucketed device buffers, dispatch one K-iteration program,
+    fetch the per-step rows and replay the appends. ``state`` is mutated
+    like solver.ego_step would (x/y/c_data, best_index, feasibility,
+    iter). Warm-start thetas ride between chunks as device arrays.
+
+    Returns the updated state. Chunk size defaults to the pad bucket, so
+    the chunked run hits the same compiled-shape grid as the host loop."""
+    from ..config import default_dtype
+    from .solver import _bucket, _CRIT_NAME, _CSTR_NAME, _OPT_NAME
+
+    cfg = solver.config
+    dtype = default_dtype()
+    chunk = int(chunk_iters or cfg.shape_bucket)
+    m = state.y_data.shape[1]
+    theta0s, t_lo, t_up = solver._theta_setup(state, m)
+    use_middle = not os.environ.get(
+        "EGOR_DO_NOT_USE_MIDDLEPICKER_MULTISTARTER"
+    )
+    use_feas = bool(os.environ.get("EGOR_USE_MAX_PROBA_OF_FEASIBILITY"))
+    n_cstr = cfg.n_cstr
+    tols = jnp.asarray(state.cstr_tol[:n_cstr], dtype)
+    lo = jnp.asarray(np.ascontiguousarray(solver.xlimits[:, 0]), dtype)
+    hi = jnp.asarray(np.ascontiguousarray(solver.xlimits[:, 1]), dtype)
+    target = jnp.asarray(cfg.target, dtype)
+    retries = jnp.asarray(state.no_point_added_retries, jnp.int32)
+    done = jnp.asarray(False)
+
+    remaining = int(max_iters) - int(state.iter)
+    nx = solver.nx
+    crit = _CRIT_NAME[cfg.infill_strategy]
+    cstrat = _CSTR_NAME[cfg.cstr_strategy]
+    opt = _OPT_NAME[cfg.infill_optimizer]
+    while remaining > 0:
+        k = min(chunk, remaining)
+        n = state.x_data.shape[0]
+        nb = _bucket(n + k, cfg.shape_bucket)
+        xp = np.zeros((nb, nx))
+        xp[:n] = state.x_data
+        yp = np.zeros((nb, m))
+        yp[:n] = state.y_data
+        msk = np.zeros(nb, dtype=bool)
+        msk[:n] = True
+        rows, theta_last = fused_run_chunk(
+            jnp.asarray(xp, dtype), jnp.asarray(yp, dtype),
+            jnp.asarray(msk), theta0s, t_lo, t_up,
+            solver._next_key(), lo, hi, tols, retries, done, target,
+            n_iters=k, fobj=fobj, n_start=cfg.n_start,
+            use_middle=use_middle, use_feasibility_first=use_feas,
+            corr=solver.spec.corr, trend=solver.spec.trend,
+            kpls_dim=solver.spec.kpls_dim,
+            gp_n_start=solver.spec.n_start,
+            gp_max_iters=solver.spec.max_iters,
+            nugget=solver.spec.nugget,
+            n_cloud=min(100 * nx, 1000), crit=crit,
+            cstr_strategy=cstrat, n_cstr=n_cstr,
+            cstr_infill=cfg.cstr_infill, optimizer=opt,
+            ls_batch=solver.spec.ls_batch,
+        )
+        theta0s = theta_last  # stays on device between chunks
+        arr = np.array(rows)  # the single host fetch for k iterations
+        appended = arr[:, nx + m] > 0.5
+        done_flags = arr[:, nx + m + 1] > 0.5
+        new_x = arr[appended, :nx]
+        new_y = arr[appended, nx:nx + m]
+        state.x_data = np.vstack([state.x_data, new_x])
+        state.y_data = np.vstack([state.y_data, new_y])
+        state.c_data = np.vstack(
+            [state.c_data, np.zeros((new_x.shape[0], 0))]
+        )
+        state.prev_added = state.added
+        state.added += new_x.shape[0]
+        state.iter += k
+        remaining -= k
+        if done_flags.any():
+            # the device carry froze the run (retries exhausted or target
+            # reached); report a faithful retry counter
+            state.no_point_added_retries = 0
+            break
+        # replay the retry counter: it resets on every append, so the
+        # carried value is MAX_RETRIES minus the trailing duplicate streak
+        trailing = 0
+        for flag in appended[::-1]:
+            if flag:
+                break
+            trailing += 1
+        state.no_point_added_retries = MAX_RETRIES - trailing
+        retries = jnp.asarray(MAX_RETRIES - trailing, jnp.int32)
+
+    state.theta_inits = theta0s
+    from .find_result import find_best_result_index, is_feasible
+
+    best = find_best_result_index(
+        state.y_data, state.c_data, state.cstr_tol
+    )
+    state.prev_best_index = state.best_index
+    state.best_index = best
+    state.feasibility = state.feasibility or is_feasible(
+        state.y_data[best], state.c_data[best], state.cstr_tol
+    )
+    return state

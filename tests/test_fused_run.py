@@ -1,0 +1,125 @@
+"""Whole-run fused Egor (ego/fused_run.py): chunks of EGO iterations as
+one XLA program for jax-traceable objectives.
+
+Quality parity targets mirror the host-loop tests (tests/test_ego.py):
+xsinx optimum -15.125 at x=18.935, G24 constrained optimum -5.5080
+(ref: crates/ego test problems, test_egor.py). The traced mode uses the
+JAX key stream for its seeds so results are not bitwise-equal to the host
+loop — assertions are on optimization quality and state bookkeeping.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from egobox_tpu import ConstraintStrategy, Egor
+
+
+def xsinx_np(x):
+    x = np.atleast_2d(x)
+    return ((x - 3.5) * np.sin((x - 3.5) / np.pi)).reshape(-1, 1)
+
+
+def xsinx_traced(x):
+    return ((x - 3.5) * jnp.sin((x - 3.5) / jnp.pi)).reshape(-1, 1)
+
+
+def g24_traced(x):
+    f = -x[:, 0] - x[:, 1]
+    g1 = (-2.0 * x[:, 0] ** 4 + 8.0 * x[:, 0] ** 3 - 8.0 * x[:, 0] ** 2
+          + x[:, 1] - 2.0)
+    g2 = (-4.0 * x[:, 0] ** 4 + 32.0 * x[:, 0] ** 3 - 88.0 * x[:, 0] ** 2
+          + 96.0 * x[:, 0] + x[:, 1] - 36.0)
+    return jnp.stack([f, g1, g2], axis=1)
+
+
+def test_traced_run_xsinx_finds_optimum():
+    egor = Egor([[0.0, 25.0]], seed=42, n_doe=5, traced_run=True)
+    res = egor.minimize(xsinx_traced, max_iters=8)
+    assert res.y_opt[0] < -14.5
+    assert abs(res.x_opt[0] - 18.935) < 1.0
+    # bookkeeping: every iteration either appended one point or retried
+    assert res.x_doe.shape[0] <= 5 + 8
+    assert res.x_doe.shape[0] > 5
+    assert np.isfinite(res.y_doe).all()
+
+
+def test_traced_run_matches_host_loop_quality():
+    y_host = Egor([[0.0, 25.0]], seed=1, n_doe=5).minimize(
+        xsinx_np, max_iters=8
+    ).y_opt[0]
+    y_traced = Egor(
+        [[0.0, 25.0]], seed=1, n_doe=5, traced_run=True
+    ).minimize(xsinx_traced, max_iters=8).y_opt[0]
+    assert y_traced < -14.0
+    assert abs(y_traced - y_host) < 1.0
+
+
+def test_traced_run_g24_constrained():
+    egor = Egor(
+        [[0.0, 3.0], [0.0, 4.0]], n_cstr=2,
+        cstr_strategy=ConstraintStrategy.UTB,
+        cstr_tol=np.array([2e-6, 2e-6]), seed=42, n_doe=10,
+        traced_run=True,
+    )
+    res = egor.minimize(g24_traced, max_iters=16)
+    assert res.y_opt[0] < -5.2
+    # the reported best must satisfy the constraints (up to slack)
+    assert res.y_opt[1] < 1e-2
+    assert res.y_opt[2] < 1e-2
+
+
+def test_traced_run_target_stop():
+    # target above the optimum: the run freezes once reached, so fewer
+    # points are added than max_iters allows
+    egor = Egor(
+        [[0.0, 25.0]], seed=3, n_doe=5, target=-14.0, traced_run=True
+    )
+    res = egor.minimize(xsinx_traced, max_iters=16)
+    assert res.y_opt[0] < -14.0
+    assert res.x_doe.shape[0] < 5 + 16
+
+
+def test_traced_run_imputes_nonfinite():
+    def nan_region(x):
+        y = ((x - 3.5) * jnp.sin((x - 3.5) / jnp.pi)).reshape(-1, 1)
+        return jnp.where(x.reshape(-1, 1) > 20.0, jnp.nan, y)
+
+    egor = Egor([[0.0, 25.0]], seed=7, n_doe=5, traced_run=True)
+    res = egor.minimize(nan_region, max_iters=8)
+    assert np.isfinite(res.y_doe).all()
+    assert res.y_opt[0] < -10.0
+
+
+def test_traced_run_falls_back_for_host_objective():
+    # numpy-only objective cannot trace: the gate must fall back to the
+    # host loop and still optimize
+    calls = []
+
+    def host_obj(x):
+        x = np.atleast_2d(np.asarray(x))
+        calls.append(x.shape[0])
+        return xsinx_np(x)
+
+    egor = Egor([[0.0, 25.0]], seed=5, n_doe=5, traced_run=True)
+    res = egor.minimize(host_obj, max_iters=4)
+    assert len(calls) >= 2  # host loop evaluates per iteration
+    assert res.y_opt[0] < -10.0
+
+
+def test_traced_run_env_kill_switch(monkeypatch):
+    monkeypatch.setenv("EGOBOX_TRACED_RUN", "0")
+    egor = Egor([[0.0, 25.0]], seed=5, n_doe=5, traced_run=True)
+    assert not egor._use_traced_run(xsinx_traced, (), None)
+
+
+@pytest.mark.parametrize("blocker", [
+    dict(trego=True),
+    dict(q_points=2),
+    dict(n_clusters=2),
+])
+def test_traced_run_gate_excludes(blocker):
+    egor = Egor([[0.0, 25.0]], seed=5, n_doe=5, traced_run=True,
+                **blocker)
+    assert not egor._use_traced_run(xsinx_traced, (), None)
