@@ -167,10 +167,12 @@ class Egor:
         if cfg.hot_start is not None and cfg.hot_start > 0:
             max_iters += int(cfg.hot_start)
 
-        if self._use_traced_run(fun, fcstrs, outdir):
+        if self._use_traced_run(fun, wcstrs, outdir):
             from .fused_run import run_traced
 
-            state = run_traced(self.solver, state, fun, max_iters)
+            state = run_traced(
+                self.solver, state, fun, max_iters, fcstrs=wcstrs
+            )
             return self._result(state)
 
         recorder = None
@@ -227,16 +229,19 @@ class Egor:
         """Eligibility gate for the whole-run fused mode (ego/fused_run.py)
         — opt-in (``traced_run=True`` or EGOBOX_TRACED_RUN=1), continuous
         single-cluster q=1 problems without per-iteration host needs
-        (observers, recorders, fcstr callbacks, TREGO scheduling, mixint
-        casting), and a jax-traceable objective."""
+        (observers, recorders, TREGO scheduling, mixint casting), and a
+        jax-traceable objective. Function constraints are allowed when
+        every one jax-traces (they run in-program, like the fused
+        single-step path)."""
         env = os.environ.get("EGOBOX_TRACED_RUN")
         want = (self.traced_run or env == "1") and env != "0"
         cfg = self.config
         if not want:
             return False
+        if fcstrs and not self.solver._fcstrs_traceable(tuple(fcstrs)):
+            return False
         if (
-            fcstrs
-            or outdir
+            outdir
             or cfg.trego.activated
             or self.mixint.is_discrete
             or cfg.q_points != 1

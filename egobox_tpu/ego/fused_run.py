@@ -52,21 +52,23 @@ _RUN_STATICS = (
     "corr", "trend", "kpls_dim", "gp_n_start", "gp_max_iters", "nugget",
     "n_cloud", "crit", "cstr_strategy", "n_cstr", "cstr_infill",
     "optimizer", "ls_batch", "n_iters", "fobj", "n_start", "use_middle",
-    "use_feasibility_first",
+    "use_feasibility_first", "fcstr_fns",
 )
 
 
-def _best_fmin(ybuf, mask, cstr_tols, n_cstr):
+def _best_fmin(ybuf, cbuf, mask, all_tols, n_cstr):
     """fmin under the constraint-tolerance ordering: the objective of the
     row with (min violation-sum, then min objective) — traced mirror of
     find_result.find_best_result_index (ref: find_result.rs:76-142).
+    Constraint columns are the surrogate constraints (ybuf[:, 1:]) then
+    the function-constraint evaluations (cbuf); ``all_tols`` covers both.
     Also returns whether any active row is feasible."""
     inf = jnp.asarray(jnp.inf, ybuf.dtype)
     obj = jnp.where(mask, ybuf[:, 0], inf)
-    if n_cstr == 0:
+    c = jnp.concatenate([ybuf[:, 1:1 + n_cstr], cbuf], axis=1)
+    if c.shape[1] == 0:
         return jnp.min(obj), jnp.any(mask)
-    c = ybuf[:, 1:1 + n_cstr]
-    over = jnp.maximum(c - cstr_tols[None, :], 0.0)
+    over = jnp.maximum(c - all_tols[None, :], 0.0)
     viol = jnp.where(mask, jnp.sum(over, axis=1), inf)
     vmin = jnp.min(viol)
     fmin = jnp.min(jnp.where(viol == vmin, obj, inf))
@@ -95,6 +97,7 @@ def _impute_row(yk, ybuf, mask):
 def fused_run_chunk(
     xbuf: jnp.ndarray,  # (nb, nx) padded DoE
     ybuf: jnp.ndarray,  # (nb, m) padded outputs
+    cbuf: jnp.ndarray,  # (nb, n_fcstr) function-constraint evaluations
     mask: jnp.ndarray,  # (nb,) active rows
     theta0s: jnp.ndarray,  # (m, dim) warm-start inits
     theta_lo: jnp.ndarray,
@@ -102,7 +105,8 @@ def fused_run_chunk(
     base_key: jnp.ndarray,  # chunk PRNG key (per-step keys fold in j)
     lo: jnp.ndarray,  # (nx,) optimization box
     hi: jnp.ndarray,
-    cstr_tols: jnp.ndarray,  # (n_cstr,)
+    cstr_tols: jnp.ndarray,  # (n_cstr,) surrogate-constraint tolerances
+    fcstr_tols: jnp.ndarray,  # (n_fcstr,) function-constraint tolerances
     retries0: jnp.ndarray,  # int32: remaining duplicate retries
     done0: jnp.ndarray,  # bool: run already frozen (converged / target)
     target: jnp.ndarray,  # scalar: stop when best obj < target
@@ -125,22 +129,25 @@ def fused_run_chunk(
     cstr_infill: bool,
     optimizer: str,
     ls_batch: int = 8,
+    fcstr_fns: tuple = (),  # jax-traceable (nx,) -> scalar constraints
 ):
     """Run ``n_iters`` EGO iterations in-program. Returns
-    (rows (n_iters, nx + m + 2), theta_last (m, dim)): each row is
-    [x_j, y_j, appended_flag, done_flag] — the host replays the appends to
-    advance its numpy state, so ONE fetch per chunk suffices. The caller
-    must size the buffers with at least ``n_iters`` free slots."""
+    (rows (n_iters, nx + m + n_fcstr + 2), theta_last (m, dim)): each row
+    is [x_j, y_j, c_j, appended_flag, done_flag] — the host replays the
+    appends to advance its numpy state, so ONE fetch per chunk suffices.
+    The caller must size the buffers with at least ``n_iters`` free
+    slots."""
     dtype = xbuf.dtype
     nx = xbuf.shape[1]
     m = ybuf.shape[1]
     nb = xbuf.shape[0]
     n_sub_max = max(nb // 10, 2)
     dedup_tol = 100.0 * float(jnp.finfo(dtype).eps)
+    all_tols = jnp.concatenate([cstr_tols, fcstr_tols])
 
     def step(carry, j):
-        xb, yb, mb, th0, retries, done = carry
-        fmin, feas = _best_fmin(yb, mb, cstr_tols, n_cstr)
+        xb, yb, cb, mb, th0, retries, done = carry
+        fmin, feas = _best_fmin(yb, cb, mb, all_tols, n_cstr)
         kj = jax.random.fold_in(base_key, j)
         kfit, kcloud, kseed = jax.random.split(kj, 3)
         if use_middle:
@@ -154,16 +161,22 @@ def fused_run_chunk(
         feas_flag = feas if use_feasibility_first else None
         xk, fk, models = _select_core(
             xb, yb, mb, th0, theta_lo, theta_up, kfit, kcloud,
-            starts, lo, hi, fmin, cstr_tols, None, feas_flag,
+            starts, lo, hi, fmin, cstr_tols,
+            fcstr_tols if fcstr_fns else None, feas_flag,
             corr=corr, trend=trend, kpls_dim=kpls_dim,
             gp_n_start=gp_n_start, gp_max_iters=gp_max_iters,
             fixed=False, nugget=nugget, n_cloud=n_cloud, crit=crit,
             cstr_strategy=cstr_strategy, n_cstr=n_cstr,
             cstr_infill=cstr_infill, feasibility=True,
-            optimizer=optimizer, ls_batch=ls_batch, fcstr_fns=(),
+            optimizer=optimizer, ls_batch=ls_batch, fcstr_fns=fcstr_fns,
         )
         yk = jnp.asarray(fobj(xk[None, :]), dtype).reshape((m,))
         yk = _impute_row(yk, yb, mb)
+        ck = (
+            jnp.stack([jnp.asarray(f(xk), dtype).reshape(())
+                       for f in fcstr_fns])
+            if fcstr_fns else jnp.zeros((0,), dtype)
+        )
 
         d = jnp.sum(jnp.abs(xb - xk[None, :]), axis=1)
         dup = jnp.any(mb & (d < dedup_tol))
@@ -171,28 +184,29 @@ def fused_run_chunk(
         idx = jnp.sum(mb)
         xb = jnp.where(ok, xb.at[idx].set(xk), xb)
         yb = jnp.where(ok, yb.at[idx].set(yk), yb)
+        cb = jnp.where(ok, cb.at[idx].set(ck), cb)
         mb = jnp.where(ok, mb.at[idx].set(True), mb)
         retries = jnp.where(
             ok, MAX_RETRIES, jnp.where(done, retries, retries - 1)
         )
-        fmin2, _ = _best_fmin(yb, mb, cstr_tols, n_cstr)
+        fmin2, _ = _best_fmin(yb, cb, mb, all_tols, n_cstr)
         done = done | (retries <= 0) | (fmin2 < target)
         row = jnp.concatenate([
-            xk, yk,
+            xk, yk, ck,
             ok.astype(dtype)[None],
             done.astype(dtype)[None],
         ])
-        return (xb, yb, mb, models.theta, retries, done), row
+        return (xb, yb, cb, mb, models.theta, retries, done), row
 
-    (_, _, _, theta_last, _, _), rows = lax.scan(
-        step, (xbuf, ybuf, mask, theta0s, retries0, done0),
+    (_, _, _, _, theta_last, _, _), rows = lax.scan(
+        step, (xbuf, ybuf, cbuf, mask, theta0s, retries0, done0),
         jnp.arange(n_iters),
     )
     return rows, theta_last
 
 
 def run_traced(solver, state, fobj, max_iters: int,
-               chunk_iters: int | None = None):
+               chunk_iters: int | None = None, fcstrs=()):
     """Drive ``fused_run_chunk`` from the host: per chunk, pad the numpy
     state into bucketed device buffers, dispatch one K-iteration program,
     fetch the per-step rows and replay the appends. ``state`` is mutated
@@ -214,7 +228,11 @@ def run_traced(solver, state, fobj, max_iters: int,
     )
     use_feas = bool(os.environ.get("EGOR_USE_MAX_PROBA_OF_FEASIBILITY"))
     n_cstr = cfg.n_cstr
+    n_fc = len(fcstrs)
     tols = jnp.asarray(state.cstr_tol[:n_cstr], dtype)
+    fc_tols = jnp.asarray(
+        state.cstr_tol[n_cstr:n_cstr + n_fc], dtype
+    )
     lo = jnp.asarray(np.ascontiguousarray(solver.xlimits[:, 0]), dtype)
     hi = jnp.asarray(np.ascontiguousarray(solver.xlimits[:, 1]), dtype)
     target = jnp.asarray(cfg.target, dtype)
@@ -234,12 +252,16 @@ def run_traced(solver, state, fobj, max_iters: int,
         xp[:n] = state.x_data
         yp = np.zeros((nb, m))
         yp[:n] = state.y_data
+        cp = np.zeros((nb, n_fc))
+        cp[:n] = state.c_data
         msk = np.zeros(nb, dtype=bool)
         msk[:n] = True
         rows, theta_last = fused_run_chunk(
             jnp.asarray(xp, dtype), jnp.asarray(yp, dtype),
-            jnp.asarray(msk), theta0s, t_lo, t_up,
-            solver._next_key(), lo, hi, tols, retries, done, target,
+            jnp.asarray(cp, dtype), jnp.asarray(msk),
+            theta0s, t_lo, t_up,
+            solver._next_key(), lo, hi, tols, fc_tols, retries, done,
+            target,
             n_iters=k, fobj=fobj, n_start=cfg.n_start,
             use_middle=use_middle, use_feasibility_first=use_feas,
             corr=solver.spec.corr, trend=solver.spec.trend,
@@ -250,19 +272,18 @@ def run_traced(solver, state, fobj, max_iters: int,
             n_cloud=min(100 * nx, 1000), crit=crit,
             cstr_strategy=cstrat, n_cstr=n_cstr,
             cstr_infill=cfg.cstr_infill, optimizer=opt,
-            ls_batch=solver.spec.ls_batch,
+            ls_batch=solver.spec.ls_batch, fcstr_fns=tuple(fcstrs),
         )
         theta0s = theta_last  # stays on device between chunks
         arr = np.array(rows)  # the single host fetch for k iterations
-        appended = arr[:, nx + m] > 0.5
-        done_flags = arr[:, nx + m + 1] > 0.5
+        appended = arr[:, nx + m + n_fc] > 0.5
+        done_flags = arr[:, nx + m + n_fc + 1] > 0.5
         new_x = arr[appended, :nx]
         new_y = arr[appended, nx:nx + m]
+        new_c = arr[appended, nx + m:nx + m + n_fc]
         state.x_data = np.vstack([state.x_data, new_x])
         state.y_data = np.vstack([state.y_data, new_y])
-        state.c_data = np.vstack(
-            [state.c_data, np.zeros((new_x.shape[0], 0))]
-        )
+        state.c_data = np.vstack([state.c_data, new_c])
         state.prev_added = state.added
         state.added += new_x.shape[0]
         state.iter += k

@@ -148,6 +148,10 @@ def corr_cross(name: str, x1, x2, theta, weights=None):
         and x1.dtype == jnp.float32
         and n1 * n2 * nx > _DENSE_BUDGET
         and jax.default_backend() == "tpu"
+        # Mosaic cannot legalize the i64 grid/index maps global x64
+        # produces (see gp/likelihood._cholesky) — TPU deployments run
+        # EGOBOX_TPU_NO_X64=1
+        and not jax.config.jax_enable_x64
     ):
         from ..ops.pallas_corr import corr_cross_pallas
 

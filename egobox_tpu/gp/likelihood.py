@@ -68,10 +68,17 @@ def _cholesky(r):
     if parts[0] == "pallas":
         from ..ops.pallas_chol import pallas_cholesky
 
-        # compiled Mosaic path on TPU; interpreter elsewhere (CPU tests)
+        # compiled Mosaic path on TPU; interpreter elsewhere (CPU tests).
+        # Global x64 ALSO forces the interpreter: Mosaic cannot legalize
+        # the i64 grid/index maps x64 produces (even a trivial copy
+        # kernel fails with "failed to legalize func.return"; observed
+        # on v5e) — TPU deployments run EGOBOX_TPU_NO_X64=1.
+        interpret = (
+            jax.default_backend() != "tpu" or jax.config.jax_enable_x64
+        )
         return pallas_cholesky(
             r, block=int(parts[1]), precision=precision,
-            interpret=jax.default_backend() != "tpu",
+            interpret=interpret,
         )
     _tag, panel, block = parts[:3]
     from ..ops.block_linalg import blocked_cholesky

@@ -40,6 +40,13 @@ _TM = 1024
 #: panel row counts are padded to a multiple of this to bound the number
 #: of distinct kernel shapes (wasted GEMM rows are zeros -> zero output)
 _RB = 2048
+#: every dot INSIDE the kernel pins HIGHEST (fp32-contract) explicitly:
+#: Mosaic only lowers DEFAULT/HIGHEST, and the package-wide
+#: jax_default_matmul_precision=high (egobox_tpu.config) otherwise leaks
+#: into the kernel trace — observed on v5e as NotImplementedError for
+#: plain dots and an infinite _convert_helper recursion for the
+#: decomposed ones
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _factor_panel_kernel(b: int, a_ref, out_ref, linv_ref):
@@ -48,6 +55,8 @@ def _factor_panel_kernel(b: int, a_ref, out_ref, linv_ref):
     rows of step 0) apply L00^-T to their row slab via the MXU."""
     i = pl.program_id(0)
     f32 = out_ref.dtype  # f32 on TPU; dtype-faithful under the interpreter
+    one = jnp.ones((), f32)
+    zero = jnp.zeros((), f32)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)  # (b, 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)  # (1, b)
@@ -56,34 +65,51 @@ def _factor_panel_kernel(b: int, a_ref, out_ref, linv_ref):
     def _():
         a0 = a_ref[:b, :].astype(f32)
 
-        def chol_body(j, carry):
-            a, l = carry
-            e_col = (rows == j).astype(f32)  # (b, 1) one-hot
-            e_row = (cols == j).astype(f32)  # (1, b) one-hot
-            col = jnp.dot(a, e_col, preferred_element_type=f32)  # (b, 1)
-            row = jnp.dot(e_row, a, preferred_element_type=f32)  # (1, b)
+        # the loop index j is NOT used for the one-hot compares: under
+        # global x64 (CPU-parity mode) fori_loop indices are int64, and
+        # Mosaic's int64<->int32/f32 conversion fallback recurses forever
+        # (observed on v5e). An int32 counter carried in the loop state
+        # keeps the kernel x64-proof.
+        jj0 = jnp.zeros((), jnp.int32)
+
+        def chol_body(_, carry):
+            a, l, jj = carry
+            # one-hot selectors via where (Mosaic has no bool->f32
+            # convert lowering — a bool .astype recurses forever in
+            # _convert_helper, observed on v5e)
+            e_col = jnp.where(rows == jj, one, zero)  # (b, 1) one-hot
+            e_row = jnp.where(cols == jj, one, zero)  # (1, b) one-hot
+            col = jnp.dot(a, e_col, precision=_HI,
+                          preferred_element_type=f32)  # (b, 1)
+            row = jnp.dot(e_row, a, precision=_HI,
+                          preferred_element_type=f32)  # (1, b)
             piv = jnp.sum(col * e_col)
             d = jax.lax.rsqrt(piv)
-            cjm = jnp.where(rows >= j, col * d, 0.0)  # masked column j of L
-            rjm = jnp.where(cols >= j, row * d, 0.0)  # its row-vector twin
+            cjm = jnp.where(rows >= jj, col * d, 0.0)  # masked col j of L
+            rjm = jnp.where(cols >= jj, row * d, 0.0)  # its row-vector twin
             l = l + cjm * e_row  # place column j
             a = a - cjm * rjm  # rank-1 Schur update (only k > j read later)
-            return a, l
+            return a, l, jj + 1
 
-        _, l00 = jax.lax.fori_loop(
-            0, b, chol_body, (a0, jnp.zeros((b, b), f32))
+        _, l00, _ = jax.lax.fori_loop(
+            0, b, chol_body, (a0, jnp.zeros((b, b), f32), jj0)
         )
 
-        def inv_body(j, x):
-            e_col = (rows == j).astype(f32)
-            e_row = (cols == j).astype(f32)
-            lrow = jnp.dot(e_row, l00, preferred_element_type=f32)  # (1, b)
+        def inv_body(_, carry):
+            x, jj = carry
+            e_col = jnp.where(rows == jj, one, zero)
+            e_row = jnp.where(cols == jj, one, zero)
+            lrow = jnp.dot(e_row, l00, precision=_HI,
+                           preferred_element_type=f32)  # (1, b)
             piv = jnp.sum(lrow * e_row)
-            prod = jnp.dot(lrow, x, preferred_element_type=f32)  # (1, b)
+            prod = jnp.dot(lrow, x, precision=_HI,
+                           preferred_element_type=f32)  # (1, b)
             xrow = (e_row - prod) / piv
-            return x + e_col * xrow  # place row j
+            return x + e_col * xrow, jj + 1  # place row j
 
-        linv = jax.lax.fori_loop(0, b, inv_body, jnp.zeros((b, b), f32))
+        linv, _ = jax.lax.fori_loop(
+            0, b, inv_body, (jnp.zeros((b, b), f32), jj0)
+        )
         linv_ref[:, :] = linv
 
         out_ref[:b, :] = l00.astype(out_ref.dtype)
@@ -91,7 +117,7 @@ def _factor_panel_kernel(b: int, a_ref, out_ref, linv_ref):
         below = jax.lax.dot_general(
             a_ref[b:, :].astype(f32), linv,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
+            precision=_HI, preferred_element_type=f32,
         )
         out_ref[b:, :] = below.astype(out_ref.dtype)
 
@@ -100,7 +126,7 @@ def _factor_panel_kernel(b: int, a_ref, out_ref, linv_ref):
         out_ref[:, :] = jax.lax.dot_general(
             a_ref[:, :].astype(f32), linv_ref[:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
+            precision=_HI, preferred_element_type=f32,
         ).astype(out_ref.dtype)
 
 

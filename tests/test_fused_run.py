@@ -70,6 +70,22 @@ def test_traced_run_g24_constrained():
     assert res.y_opt[2] < 1e-2
 
 
+def test_traced_run_traceable_fcstrs():
+    """Jax-traceable function constraints run in-program: constrained
+    optimum of xsinx s.t. x <= 18 (mirrors
+    tests/test_ego.py::test_function_constraints on the host loop)."""
+    def cstr_x_le_18(x):
+        return x.ravel()[0] - 18.0
+
+    egor = Egor([[0.0, 25.0]], seed=42, n_doe=5, traced_run=True)
+    res = egor.minimize(
+        xsinx_traced, fcstrs=[cstr_x_le_18], max_iters=15
+    )
+    true_y = float(xsinx_np(np.array([[18.0]]))[0, 0])
+    assert res.x_opt[0] <= 18.0 + 1e-2
+    assert abs(res.y_opt[0] - true_y) < 0.5
+
+
 def test_traced_run_target_stop():
     # target above the optimum: the run freezes once reached, so fewer
     # points are added than max_iters allows

@@ -1,13 +1,23 @@
-"""Real-TPU A/B: Pallas blocked Cholesky (ops/pallas_chol.py) vs native vs
-the XLA-blocked variant, single and vmapped x3 (the 3-lane TR polish
-batches its forwards), n=10240 f32.
+"""Real-TPU A/B: Pallas blocked Cholesky (ops/pallas_chol.py) vs native,
+single and vmapped x3 (the 3-lane TR polish batches its forwards),
+n=10240 f32.
 
-Accuracy is reported as max|L - L64| against a float64 numpy factorization
-and as the logdet delta (the quantity the likelihood consumes).
+TIMING: each variant is ONE jitted program returning sum(log(diag(L)))
+— a scalar whose value depends on the entire factor, so XLA cannot
+dead-code-eliminate any panel and the host fetch is an honest sync.
+Per-chol cost = T - T_null where T_null times an equivalently-shaped
+trivial program (pure dispatch + tunnel roundtrip, ~30-45 ms this
+session). A k=8 unrolled chain was tried first and is a trap: the
+native-chol chain took 5163 s to compile and produced anomalously slow
+code (1.66 s/chol vs 48 ms single) — do not resurrect it.
+
+Accuracy is reported as the logdet delta vs a float64 numpy
+factorization (the quantity the likelihood consumes).
 
 Run contention-free:  timeout 5400 python tools/prof_chol2.py
 """
 
+import os
 import sys
 import time
 
@@ -15,10 +25,13 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+# Mosaic kernels cannot compile under global x64 (i64 index maps fail to
+# legalize) — run f32-native like the TPU deployment path
+os.environ.setdefault("EGOBOX_TPU_NO_X64", "1")
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from egobox_tpu.ops.block_linalg import blocked_cholesky  # noqa: E402
 from egobox_tpu.ops.pallas_chol import pallas_cholesky  # noqa: E402
 
 N = 10_240
@@ -26,75 +39,65 @@ DT = jnp.float32
 HIGH = jax.lax.Precision.HIGH
 
 
-def spd(key, n):
-    a = jax.random.normal(key, (n, n), DT) / np.sqrt(n)
-    return a @ a.T + 2.0 * jnp.eye(n, dtype=DT)
+def spd_np(seed, n):
+    # NOTE: host numpy at n=10k costs ~10 min on the 1-CPU host (a@a.T is
+    # 2e12 flops) but the f64 ground-truth chol needs the matrix on host
+    # anyway.
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n)
+    return a @ a.T + 2.0 * np.eye(n, dtype=np.float32)
 
 
-def timeit(name, fn, *args, reps=3, ref_logdet=None):
+def logdet_prog(chol_fn):
+    def f(r):
+        l = chol_fn(r)
+        return jnp.sum(jnp.log(jnp.diagonal(l, axis1=-2, axis2=-1)))
+    return f
+
+
+def run(name, fn, r, t_null, ref, reps=5):
     f = jax.jit(fn)
     t0 = time.perf_counter()
-    out = f(*args)
-    first = jnp.ravel(out)
-    float(first[0])
+    out = float(f(r))
     compile_s = time.perf_counter() - t0
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = f(*args)
-        float(jnp.ravel(out)[0])
+        out = float(f(r))
         ts.append(time.perf_counter() - t0)
-    msg = f"{name:38s} {min(ts) * 1e3:8.2f} ms  (compile {compile_s:.0f}s)"
-    if ref_logdet is not None:
-        l = np.asarray(out)
-        if l.ndim == 3:
-            l = l[0]
-        logdet = 2.0 * np.sum(np.log(np.abs(np.diag(l))))
-        msg += f"  dlogdet={abs(logdet - ref_logdet):.2e}"
-    print(msg, flush=True)
-    return min(ts)
+    per = min(ts) - t_null
+    b = r.shape[0] if r.ndim == 3 else 1
+    print(f"{name:34s} {per * 1e3:8.2f} ms/prog ({per / b * 1e3:6.2f}"
+          f"/lane)  t={min(ts):.3f}s compile={compile_s:.0f}s "
+          f"dlogdet={out - ref:+.4f}", flush=True)
+    return per
 
 
 if __name__ == "__main__":
     print(f"backend={jax.default_backend()} n={N}", flush=True)
-    key = jax.random.key(0)
-    r = spd(key, N)
-    r64 = np.asarray(r, np.float64)
-    l64 = np.linalg.cholesky(r64)
-    ref_logdet = 2.0 * np.sum(np.log(np.diag(l64)))
-    print(f"ref logdet={ref_logdet:.6f}", flush=True)
+    r_np = spd_np(0, N)
+    l64 = np.linalg.cholesky(r_np.astype(np.float64))
+    ref = float(np.sum(np.log(np.diag(l64))))
+    print(f"f64 logdet/2 = {ref:.4f}", flush=True)
+
+    r = jnp.asarray(r_np)
     rs3 = jnp.stack([r, r, r])
 
-    timeit("native chol", jnp.linalg.cholesky, r, ref_logdet=ref_logdet)
-    timeit("native chol vmap x3", jax.vmap(jnp.linalg.cholesky), rs3,
-           ref_logdet=ref_logdet)
-    timeit(
-        "blocked inverse b=1024 high",
-        lambda r: blocked_cholesky(r, block=1024, precision=HIGH,
-                                   panel="inverse"),
-        r, ref_logdet=ref_logdet,
-    )
-    for b in (256, 512):
-        timeit(
-            f"pallas b={b} high",
-            lambda r, b=b: pallas_cholesky(r, block=b, precision=HIGH),
-            r, ref_logdet=ref_logdet,
-        )
-    timeit(
-        "pallas b=256 highest",
-        lambda r: pallas_cholesky(
-            r, block=256, precision=jax.lax.Precision.HIGHEST),
-        r, ref_logdet=ref_logdet,
-    )
-    timeit(
-        "pallas b=256 high vmap x3",
-        jax.vmap(lambda r: pallas_cholesky(r, block=256, precision=HIGH)),
-        rs3, ref_logdet=ref_logdet,
-    )
-    # accuracy spot-check of the winner candidate
-    l = np.asarray(jax.jit(
-        lambda r: pallas_cholesky(r, block=256, precision=HIGH))(r))
-    err = np.max(np.abs(np.tril(l) - l64))
-    ln = np.asarray(jnp.linalg.cholesky(r))
-    errn = np.max(np.abs(np.tril(ln) - l64))
-    print(f"maxabs dL: pallas={err:.3e} native={errn:.3e}", flush=True)
+    # pure-roundtrip nulls: same input, trivial scalar program
+    t_null = run("null (r[0,0] fetch)",
+                 lambda r: r[0, 0] * 2.0, r, 0.0, 2.0 * float(r_np[0, 0]))
+    t_null3 = run("null vmap3", lambda r: 2.0 * jnp.sum(r[:, 0, 0]), rs3,
+                  0.0, 6.0 * float(r_np[0, 0]))
+
+    run("native chol", logdet_prog(jnp.linalg.cholesky), r, t_null, ref)
+    for bsz in (256, 512):
+        run(f"pallas b={bsz} high",
+            logdet_prog(lambda x, b=bsz: pallas_cholesky(
+                x, block=b, precision=HIGH)),
+            r, t_null, ref)
+    run("native chol vmap x3",
+        logdet_prog(jax.vmap(jnp.linalg.cholesky)), rs3, t_null3, 3 * ref)
+    run("pallas b=256 high vmap x3",
+        logdet_prog(jax.vmap(lambda x: pallas_cholesky(
+            x, block=256, precision=HIGH))),
+        rs3, t_null3, 3 * ref)
