@@ -1,9 +1,13 @@
-"""Pallas TPU blocked Cholesky — the likelihood hot-path factorization.
+"""Pallas TPU blocked Cholesky — an OPT-IN alternative factorization
+(``EGOBOX_CHOL=pallas:<block>:<prec>``; native XLA is the default).
 
-XLA:TPU's native `cholesky` at n=10k f32 runs ~48-60 ms (~6 TFLOP/s, far
-below MXU speed): its per-panel small factorizations are latency-bound and
-its internal matmuls run at HIGHEST (6-pass bf16) precision. This module
-rebuilds the factorization TPU-first:
+MEASURED OUTCOME (v5e, n=10240 f32, tools/prof_chol2.py 2026-08-18):
+native XLA `cholesky` runs **20.8 ms** (~17 TFLOP/s — an earlier 48-60 ms
+reading was a timing artifact) and this kernel runs 32.1 ms at block=256
+(block=512 exceeds the 16M scoped-VMEM limit), with identical f32
+accuracy (dlogdet vs f64: +0.344 native / +0.347 pallas). **Native wins;
+this module is kept as the fallback-path example of a fused Mosaic
+factorization**, not as the default. The design:
 
 - the O(n^3) trailing updates stay XLA GEMMs (left-looking block-column
   form, selectable precision — HIGH/bf16x3 is ~1e-6 relative on the

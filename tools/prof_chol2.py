@@ -90,7 +90,9 @@ if __name__ == "__main__":
                   0.0, 6.0 * float(r_np[0, 0]))
 
     run("native chol", logdet_prog(jnp.linalg.cholesky), r, t_null, ref)
-    for bsz in (256, 512):
+    # b=512 exceeds the 16M scoped VMEM limit (17.7M: double-buffered
+    # (tm, b) slabs + the b x b chol/inv live set) — measured OOM on v5e
+    for bsz in (256,):
         run(f"pallas b={bsz} high",
             logdet_prog(lambda x, b=bsz: pallas_cholesky(
                 x, block=b, precision=HIGH)),
