@@ -228,11 +228,12 @@ class Egor:
     def _use_traced_run(self, fun, fcstrs, outdir) -> bool:
         """Eligibility gate for the whole-run fused mode (ego/fused_run.py)
         — opt-in (``traced_run=True`` or EGOBOX_TRACED_RUN=1), continuous
-        single-cluster q=1 problems without per-iteration host needs
+        single-cluster problems without per-iteration host needs
         (observers, recorders, TREGO scheduling, mixint casting), and a
         jax-traceable objective. Function constraints are allowed when
         every one jax-traces (they run in-program, like the fused
-        single-step path)."""
+        single-step path); ``q_points > 1`` runs the qEI virtual-point
+        scan in-program (fused_run_chunk)."""
         env = os.environ.get("EGOBOX_TRACED_RUN")
         want = (self.traced_run or env == "1") and env != "0"
         cfg = self.config
@@ -244,7 +245,6 @@ class Egor:
             outdir
             or cfg.trego.activated
             or self.mixint.is_discrete
-            or cfg.q_points != 1
             or cfg.q_optmod != 1
             or run_recorder_enabled()
             or os.environ.get("EGOR_USE_GP_RECORDER")

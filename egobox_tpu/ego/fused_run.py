@@ -29,7 +29,12 @@ documented divergences (all opt-in via ``Egor(traced_run=True)``):
   not of float64 (utils/misc.rs:44-53 uses f64 eps);
 - per-iteration observers/recorders (outdir artifacts, hot-start
   checkpoints) are not written mid-chunk — Egor.minimize falls back to
-  the host loop when they are requested.
+  the host loop when they are requested;
+- ``q_points > 1``: the qEI virtual-point loop (KB/KBLB/KBUB/CLMIN,
+  ref: solver_computations.rs:261-292) runs as an inner lax.scan per
+  iteration; all q true evaluations happen in-program (vmapped fobj) and
+  each proposal de-dups against the live buffer, so intra-batch
+  duplicates retry like host-loop ones.
 """
 
 from __future__ import annotations
@@ -47,12 +52,13 @@ from ..doe.lhs import maximin_lhs
 from .config import MAX_POINT_ADDITION_RETRY as MAX_RETRIES
 from .fused_step import _select_core
 from .start_points import middle_picker_starts_traced
+from .surrogates import surrogate_valvar_single
 
 _RUN_STATICS = (
     "corr", "trend", "kpls_dim", "gp_n_start", "gp_max_iters", "nugget",
     "n_cloud", "crit", "cstr_strategy", "n_cstr", "cstr_infill",
     "optimizer", "ls_batch", "n_iters", "fobj", "n_start", "use_middle",
-    "use_feasibility_first", "fcstr_fns",
+    "use_feasibility_first", "fcstr_fns", "q_points", "qei",
 )
 
 
@@ -74,6 +80,21 @@ def _best_fmin(ybuf, cbuf, mask, all_tols, n_cstr):
     fmin = jnp.min(jnp.where(viol == vmin, obj, inf))
     feas = jnp.any(mask & (viol == 0.0))
     return fmin, feas
+
+
+def _best_row(ybuf, cbuf, mask, all_tols, n_cstr):
+    """The y row of the current best point under the same
+    (violation-sum, objective) ordering as :func:`_best_fmin` — the
+    constant-liar value for the CLMIN qEI strategy."""
+    inf = jnp.asarray(jnp.inf, ybuf.dtype)
+    obj = jnp.where(mask, ybuf[:, 0], inf)
+    c = jnp.concatenate([ybuf[:, 1:1 + n_cstr], cbuf], axis=1)
+    if c.shape[1] == 0:
+        return ybuf[jnp.argmin(obj)]
+    over = jnp.maximum(c - all_tols[None, :], 0.0)
+    viol = jnp.where(mask, jnp.sum(over, axis=1), inf)
+    vmin = jnp.min(viol)
+    return ybuf[jnp.argmin(jnp.where(viol == vmin, obj, inf))]
 
 
 def _impute_row(yk, ybuf, mask):
@@ -130,73 +151,138 @@ def fused_run_chunk(
     optimizer: str,
     ls_batch: int = 8,
     fcstr_fns: tuple = (),  # jax-traceable (nx,) -> scalar constraints
+    q_points: int = 1,
+    qei: str = "KB",  # virtual-point strategy for q_points > 1
 ):
     """Run ``n_iters`` EGO iterations in-program. Returns
-    (rows (n_iters, nx + m + n_fcstr + 2), theta_last (m, dim)): each row
-    is [x_j, y_j, c_j, appended_flag, done_flag] — the host replays the
-    appends to advance its numpy state, so ONE fetch per chunk suffices.
-    The caller must size the buffers with at least ``n_iters`` free
-    slots."""
+    (rows (n_iters, q, nx + m + n_fcstr + 2), theta_last (m, dim)): each
+    row is [x_jt, y_jt, c_jt, appended_flag, done_flag] — the host replays
+    the appends to advance its numpy state, so ONE fetch per chunk
+    suffices. The caller must size the buffers with at least
+    ``n_iters * q_points`` free slots.
+
+    ``q_points > 1`` proposes a q-point batch per iteration via an inner
+    lax.scan over virtual points (the qEI constant-liar family, ref:
+    compute_virtual_point, solver_computations.rs:261-292) — step t fits
+    on the DoE augmented with t virtual rows, then ALL q proposals are
+    evaluated with the true objective and appended (each de-dup'd against
+    the live buffer, so intra-batch duplicates also retry)."""
     dtype = xbuf.dtype
     nx = xbuf.shape[1]
     m = ybuf.shape[1]
     nb = xbuf.shape[0]
+    q = q_points
     n_sub_max = max(nb // 10, 2)
     dedup_tol = 100.0 * float(jnp.finfo(dtype).eps)
     all_tols = jnp.concatenate([cstr_tols, fcstr_tols])
+    conf = {"KB": 0.0, "KBLB": -3.0, "KBUB": 3.0, "CLMIN": 0.0}[qei]
 
     def step(carry, j):
         xb, yb, cb, mb, th0, retries, done = carry
         fmin, feas = _best_fmin(yb, cb, mb, all_tols, n_cstr)
         kj = jax.random.fold_in(base_key, j)
         kfit, kcloud, kseed = jax.random.split(kj, 3)
-        if use_middle:
-            starts = middle_picker_starts_traced(
-                kseed, xb, mb, lo, hi, n_start, n_sub_max
-            )
-        else:
-            fill = maximin_lhs(kseed, n_start, nx, False, 5, dtype)
-            starts = lo[None, :] + fill * (hi - lo)[None, :]
-        starts = jnp.clip(starts, lo[None, :], hi[None, :])
         feas_flag = feas if use_feasibility_first else None
-        xk, fk, models = _select_core(
-            xb, yb, mb, th0, theta_lo, theta_up, kfit, kcloud,
-            starts, lo, hi, fmin, cstr_tols,
-            fcstr_tols if fcstr_fns else None, feas_flag,
-            corr=corr, trend=trend, kpls_dim=kpls_dim,
-            gp_n_start=gp_n_start, gp_max_iters=gp_max_iters,
-            fixed=False, nugget=nugget, n_cloud=n_cloud, crit=crit,
-            cstr_strategy=cstr_strategy, n_cstr=n_cstr,
-            cstr_infill=cstr_infill, feasibility=True,
-            optimizer=optimizer, ls_batch=ls_batch, fcstr_fns=fcstr_fns,
-        )
-        yk = jnp.asarray(fobj(xk[None, :]), dtype).reshape((m,))
-        yk = _impute_row(yk, yb, mb)
-        ck = (
-            jnp.stack([jnp.asarray(f(xk), dtype).reshape(())
-                       for f in fcstr_fns])
-            if fcstr_fns else jnp.zeros((0,), dtype)
+        y_best = _best_row(yb, cb, mb, all_tols, n_cstr)
+
+        def qstep(qcarry, t):
+            # virtual-point loop: buffers carry the KB/CLMIN-imputed rows
+            # (q == 1 keeps the unfolded keys — bit-identical stream to
+            # the pre-q implementation)
+            xv, yv, mv, thv = qcarry
+            kf = kfit if q == 1 else jax.random.fold_in(kfit, t)
+            kc = kcloud if q == 1 else jax.random.fold_in(kcloud, t)
+            ks = kseed if q == 1 else jax.random.fold_in(kseed, t)
+            if use_middle:
+                starts = middle_picker_starts_traced(
+                    ks, xv, mv, lo, hi, n_start, n_sub_max
+                )
+            else:
+                fill = maximin_lhs(ks, n_start, nx, False, 5, dtype)
+                starts = lo[None, :] + fill * (hi - lo)[None, :]
+            starts = jnp.clip(starts, lo[None, :], hi[None, :])
+            xk, fk, models = _select_core(
+                xv, yv, mv, thv, theta_lo, theta_up, kf, kc,
+                starts, lo, hi, fmin, cstr_tols,
+                fcstr_tols if fcstr_fns else None, feas_flag,
+                corr=corr, trend=trend, kpls_dim=kpls_dim,
+                gp_n_start=gp_n_start, gp_max_iters=gp_max_iters,
+                fixed=False, nugget=nugget, n_cloud=n_cloud, crit=crit,
+                cstr_strategy=cstr_strategy, n_cstr=n_cstr,
+                cstr_infill=cstr_infill, feasibility=True,
+                optimizer=optimizer, ls_batch=ls_batch,
+                fcstr_fns=fcstr_fns,
+            )
+            if q > 1:
+                means, vrs = surrogate_valvar_single(models, xk)
+                if qei == "CLMIN":
+                    yk_virt = y_best
+                else:
+                    obj = means[0] + conf * jnp.sqrt(
+                        jnp.maximum(vrs[0], 0.0)
+                    )
+                    yk_virt = jnp.concatenate([obj[None], means[1:]])
+                idx = jnp.sum(mv)
+                xv = xv.at[idx].set(xk)
+                yv = yv.at[idx].set(yk_virt.astype(dtype))
+                mv = mv.at[idx].set(True)
+            return (xv, yv, mv, models.theta), xk
+
+        (_, _, _, theta_q), xq = lax.scan(
+            qstep, (xb, yb, mb, th0), jnp.arange(q)
         )
 
-        d = jnp.sum(jnp.abs(xb - xk[None, :]), axis=1)
-        dup = jnp.any(mb & (d < dedup_tol))
-        ok = ~done & ~dup
-        idx = jnp.sum(mb)
-        xb = jnp.where(ok, xb.at[idx].set(xk), xb)
-        yb = jnp.where(ok, yb.at[idx].set(yk), yb)
-        cb = jnp.where(ok, cb.at[idx].set(ck), cb)
-        mb = jnp.where(ok, mb.at[idx].set(True), mb)
+        if q == 1:
+            yq = jnp.asarray(fobj(xq[0][None, :]), dtype).reshape((1, m))
+        else:
+            yq = jax.vmap(
+                lambda r: jnp.asarray(fobj(r[None, :]), dtype).reshape(
+                    (m,)
+                )
+            )(xq)
+        if fcstr_fns:
+            cq = jax.vmap(
+                lambda r: jnp.stack(
+                    [jnp.asarray(f(r), dtype).reshape(())
+                     for f in fcstr_fns]
+                )
+            )(xq)
+        else:
+            cq = jnp.zeros((q, 0), dtype)
+
+        def astep(acarry, inp):
+            # append loop: de-dup + imputation against the LIVE buffer so
+            # intra-batch duplicates are rejected too
+            ab, ayb, acb, amb, any_ok = acarry
+            xk, yk, ck = inp
+            yk = _impute_row(yk, ayb, amb)
+            d = jnp.sum(jnp.abs(ab - xk[None, :]), axis=1)
+            dup = jnp.any(amb & (d < dedup_tol))
+            ok = ~done & ~dup
+            idx = jnp.sum(amb)
+            ab = jnp.where(ok, ab.at[idx].set(xk), ab)
+            ayb = jnp.where(ok, ayb.at[idx].set(yk), ayb)
+            acb = jnp.where(ok, acb.at[idx].set(ck), acb)
+            amb = jnp.where(ok, amb.at[idx].set(True), amb)
+            row = jnp.concatenate(
+                [xk, yk, ck, ok.astype(dtype)[None]]
+            )
+            return (ab, ayb, acb, amb, any_ok | ok), row
+
+        (xb, yb, cb, mb, any_ok), rows_j = lax.scan(
+            astep, (xb, yb, cb, mb, jnp.asarray(False)), (xq, yq, cq)
+        )
         retries = jnp.where(
-            ok, MAX_RETRIES, jnp.where(done, retries, retries - 1)
+            any_ok, MAX_RETRIES, jnp.where(done, retries, retries - 1)
         )
         fmin2, _ = _best_fmin(yb, cb, mb, all_tols, n_cstr)
         done = done | (retries <= 0) | (fmin2 < target)
-        row = jnp.concatenate([
-            xk, yk, ck,
-            ok.astype(dtype)[None],
-            done.astype(dtype)[None],
-        ])
-        return (xb, yb, cb, mb, models.theta, retries, done), row
+        rows_j = jnp.concatenate(
+            [rows_j,
+             jnp.broadcast_to(done.astype(dtype), (q,))[:, None]],
+            axis=1,
+        )
+        return (xb, yb, cb, mb, theta_q, retries, done), rows_j
 
     (_, _, _, _, theta_last, _, _), rows = lax.scan(
         step, (xbuf, ybuf, cbuf, mask, theta0s, retries0, done0),
@@ -216,7 +302,9 @@ def run_traced(solver, state, fobj, max_iters: int,
     Returns the updated state. Chunk size defaults to the pad bucket, so
     the chunked run hits the same compiled-shape grid as the host loop."""
     from ..config import default_dtype
-    from .solver import _bucket, _CRIT_NAME, _CSTR_NAME, _OPT_NAME
+    from .solver import (
+        _bucket, _CRIT_NAME, _CSTR_NAME, _OPT_NAME, _QEI_NAME,
+    )
 
     cfg = solver.config
     dtype = default_dtype()
@@ -244,10 +332,12 @@ def run_traced(solver, state, fobj, max_iters: int,
     crit = _CRIT_NAME[cfg.infill_strategy]
     cstrat = _CSTR_NAME[cfg.cstr_strategy]
     opt = _OPT_NAME[cfg.infill_optimizer]
+    q = int(cfg.q_points)
+    qei = _QEI_NAME[cfg.q_infill_strategy]
     while remaining > 0:
         k = min(chunk, remaining)
         n = state.x_data.shape[0]
-        nb = _bucket(n + k, cfg.shape_bucket)
+        nb = _bucket(n + k * q, cfg.shape_bucket)
         xp = np.zeros((nb, nx))
         xp[:n] = state.x_data
         yp = np.zeros((nb, m))
@@ -273,14 +363,17 @@ def run_traced(solver, state, fobj, max_iters: int,
             cstr_strategy=cstrat, n_cstr=n_cstr,
             cstr_infill=cfg.cstr_infill, optimizer=opt,
             ls_batch=solver.spec.ls_batch, fcstr_fns=tuple(fcstrs),
+            q_points=q, qei=qei,
         )
         theta0s = theta_last  # stays on device between chunks
-        arr = np.array(rows)  # the single host fetch for k iterations
-        appended = arr[:, nx + m + n_fc] > 0.5
-        done_flags = arr[:, nx + m + n_fc + 1] > 0.5
-        new_x = arr[appended, :nx]
-        new_y = arr[appended, nx:nx + m]
-        new_c = arr[appended, nx + m:nx + m + n_fc]
+        arr = np.array(rows)  # (k, q, w): the single fetch per chunk
+        app_step = arr[:, :, nx + m + n_fc] > 0.5  # (k, q)
+        flat = arr.reshape(k * q, -1)
+        appended = flat[:, nx + m + n_fc] > 0.5
+        done_flags = flat[:, nx + m + n_fc + 1] > 0.5
+        new_x = flat[appended, :nx]
+        new_y = flat[appended, nx:nx + m]
+        new_c = flat[appended, nx + m:nx + m + n_fc]
         state.x_data = np.vstack([state.x_data, new_x])
         state.y_data = np.vstack([state.y_data, new_y])
         state.c_data = np.vstack([state.c_data, new_c])
@@ -293,10 +386,11 @@ def run_traced(solver, state, fobj, max_iters: int,
             # reached); report a faithful retry counter
             state.no_point_added_retries = 0
             break
-        # replay the retry counter: it resets on every append, so the
-        # carried value is MAX_RETRIES minus the trailing duplicate streak
+        # replay the retry counter: it resets on every iteration that
+        # appended at least one point, so the carried value is MAX_RETRIES
+        # minus the trailing all-duplicate iteration streak
         trailing = 0
-        for flag in appended[::-1]:
+        for flag in app_step.any(axis=1)[::-1]:
             if flag:
                 break
             trailing += 1

@@ -13,7 +13,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from egobox_tpu import ConstraintStrategy, Egor
+from egobox_tpu import ConstraintStrategy, Egor, QInfillStrategy
 
 
 def xsinx_np(x):
@@ -108,6 +108,34 @@ def test_traced_run_imputes_nonfinite():
     assert res.y_opt[0] < -10.0
 
 
+def test_traced_run_q_points_batch():
+    """q_points=2: every iteration appends up to 2 points, all evaluated
+    in-program; quality matches the host q-batch path (test_ego.py
+    qEI tests; ref: solver_impl.rs:562-640)."""
+    egor = Egor([[0.0, 25.0]], seed=42, n_doe=5, q_points=2,
+                traced_run=True)
+    assert egor._use_traced_run(xsinx_traced, (), None)
+    res = egor.minimize(xsinx_traced, max_iters=6)
+    assert res.y_opt[0] < -14.0
+    assert res.x_doe.shape[0] <= 5 + 2 * 6
+    assert res.x_doe.shape[0] > 7  # most iterations appended both points
+    assert np.isfinite(res.y_doe).all()
+
+
+def test_traced_run_q_points_constrained_clmin():
+    egor = Egor(
+        [[0.0, 3.0], [0.0, 4.0]], n_cstr=2,
+        cstr_strategy=ConstraintStrategy.UTB,
+        cstr_tol=np.array([2e-6, 2e-6]), seed=42, n_doe=10,
+        q_points=2, q_infill_strategy=QInfillStrategy.CLMIN,
+        traced_run=True,
+    )
+    res = egor.minimize(g24_traced, max_iters=10)
+    assert res.y_opt[0] < -5.0
+    assert res.y_opt[1] < 1e-2
+    assert res.y_opt[2] < 1e-2
+
+
 def test_traced_run_falls_back_for_host_objective():
     # numpy-only objective cannot trace: the gate must fall back to the
     # host loop and still optimize
@@ -132,7 +160,7 @@ def test_traced_run_env_kill_switch(monkeypatch):
 
 @pytest.mark.parametrize("blocker", [
     dict(trego=True),
-    dict(q_points=2),
+    dict(q_points=2, q_optmod=2),
     dict(n_clusters=2),
 ])
 def test_traced_run_gate_excludes(blocker):
