@@ -9,18 +9,19 @@ per restart on CPU. Here one full MLE fit (L-BFGS on the exact concentrated
 likelihood with its analytic O(n^3) adjoint) runs as one compiled XLA
 program on the MXU.
 
-Fit config: multi-fidelity MLE — 3 independent 2k-subsample multistarts
-(one vmapped program), then a vmapped 3-lane trust-region polish on the
-full 10k data keeps the best final likelihood; f32, nugget 1e-3
-(f32-scale regularization at n=10k). The final model is the exact
-full-data GP at the polished theta. The trust-region polish costs ONE
-forward per iteration (vs ~3 line-search trials) with the 64-probe
+Fit config: multi-fidelity MLE — 2 independent 2k-subsample multistarts
+(one vmapped program), then a vmapped 2-lane 1-iteration trust-region
+polish on the full 10k data keeps the best final likelihood; f32,
+nugget 1e-3 (f32-scale regularization at n=10k). The final model is the
+exact full-data GP at the polished theta. The trust-region polish costs
+ONE forward per iteration (vs ~3 line-search trials) with the 64-probe
 stochastic-trace gradient (gp/likelihood.py _sqexp_dphi_stoch); the
-multi-draw selection erases the subsample basin lottery. Measured on v5e
-2026-08-17 in ONE session (tools/prof_tr.py, tools/prof_mf.py):
-single-draw line-search recipe 0.673 s / worst delta 2.44%, single-draw
-TR 0.232 s / 2.73%, 3-draw TR 0.629 s (under CPU-test contention) /
-worst delta 0.49%.
+multi-draw selection erases the subsample basin lottery. Measured on
+v5e 2026-08-18 in ONE session (tools/prof_r3c.py): 3x2k-draw pi2
+(round-3 shipped) 0.629 s / worst delta 0.49%, 2x2k pi2 0.449 s /
+1.03%, 3x2k pi1 0.503 s / 0.49%, 2x2k pi1 0.355 s / 1.03% — polish
+iterations past the first never move the deltas (basin-limited), so the
+shipped recipe is 2x2k pi1.
 
 QUALITY GATE (VERDICT r2 item 3): the direct full-data fit likelihoods for
 seeds 1-3 were computed once on v5e (n_start=1, max_iters=12 — see
@@ -58,8 +59,8 @@ import numpy as np
 #: f32) measured on v5e 2026-08-17; the multi-fidelity fit must stay within
 #: QUALITY_TOL_PCT of these
 GOLDEN_DIRECT_LKH = {1: 12311.2139, 2: 12226.0566, 3: 12379.1699}
-#: measured worst-seed deficit of the shipped 3-draw recipe is 0.49%
-#: (tools/prof_mf.py, v5e 2026-08-17). The gate catches REGRESSIONS from
+#: measured worst-seed deficit of the shipped 2-draw pi1 recipe is 1.03%
+#: (tools/prof_r3c.py, v5e 2026-08-18). The gate catches REGRESSIONS from
 #: that calibrated point: a fall back to a single subsample draw costs
 #: 2.7% on seed 3, the historical matmul-precision collapse cost >10%.
 QUALITY_TOL_PCT = 1.5
@@ -149,8 +150,8 @@ def main():
         _ = float(x[0, 0])  # force data on device before the clock starts
         t0 = time.perf_counter()
         m = gp.fit_gp(x, y, n_start=1, max_iters=4, nugget=1e-3,
-                      subsample_warmstart=2000, sub_draws=3,
-                      polish_iters=2, grad_probes=64, polish_tr=True)
+                      subsample_warmstart=2000, sub_draws=2,
+                      polish_iters=1, grad_probes=64, polish_tr=True)
         lkh = float(m.likelihood)  # host sync = honest stop
         return time.perf_counter() - t0, lkh
 
