@@ -82,19 +82,16 @@ def _best_fmin(ybuf, cbuf, mask, all_tols, n_cstr):
     return fmin, feas
 
 
-def _best_row(ybuf, cbuf, mask, all_tols, n_cstr):
-    """The y row of the current best point under the same
-    (violation-sum, objective) ordering as :func:`_best_fmin` — the
-    constant-liar value for the CLMIN qEI strategy."""
+def _best_row(ybuf, mask):
+    """The y row with the minimum objective over active rows — the
+    constant-liar value for the CLMIN qEI strategy. Deliberately the
+    UNCONSTRAINED argmin of y[:, 0]: the reference compute_virtual_point
+    (solver_computations.rs:269-274) and this repo's host loop
+    (solver.py) both impute the plain objective minimum, not the
+    (violation-sum, objective)-ordered best."""
     inf = jnp.asarray(jnp.inf, ybuf.dtype)
     obj = jnp.where(mask, ybuf[:, 0], inf)
-    c = jnp.concatenate([ybuf[:, 1:1 + n_cstr], cbuf], axis=1)
-    if c.shape[1] == 0:
-        return ybuf[jnp.argmin(obj)]
-    over = jnp.maximum(c - all_tols[None, :], 0.0)
-    viol = jnp.where(mask, jnp.sum(over, axis=1), inf)
-    vmin = jnp.min(viol)
-    return ybuf[jnp.argmin(jnp.where(viol == vmin, obj, inf))]
+    return ybuf[jnp.argmin(obj)]
 
 
 def _impute_row(yk, ybuf, mask):
@@ -183,7 +180,7 @@ def fused_run_chunk(
         kj = jax.random.fold_in(base_key, j)
         kfit, kcloud, kseed = jax.random.split(kj, 3)
         feas_flag = feas if use_feasibility_first else None
-        y_best = _best_row(yb, cb, mb, all_tols, n_cstr)
+        y_best = _best_row(yb, mb)
 
         def qstep(qcarry, t):
             # virtual-point loop: buffers carry the KB/CLMIN-imputed rows

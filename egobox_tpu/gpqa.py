@@ -16,52 +16,95 @@ import argparse
 import sys
 
 
-def _load_recorder(path: str):
-    """Load an EGOR_USE_GP_RECORDER dump — the pickled batched GpModel
-    pytree written by ego/recorders.record_gp_models — and reconstruct
-    each recorded surrogate's training data from its own state: the GLS
-    identity y_norm = F beta + R gamma (= F beta + L L^T gamma) recovers
-    the outputs exactly, so the reference workflow
-    EGOR_USE_GP_RECORDER=1 run -> `gpqa egor_gp_models.bin` connects
-    end-to-end (ref: crates/gpqa/src/main.rs:28-41 loading the bincode
-    model dumps). Returns a list of (label, x, y, fit_predict_hook) or
-    None if the file is not a recorder dump."""
-    import pickle
-
-    import jax
+def _gp_expert_xy(e):
+    """Reconstruct one dense GP expert's training data from its own
+    state via the GLS identity y_norm = F beta + R gamma
+    (= F beta + L L^T gamma) — exact, so recorder dumps carry their
+    training sets implicitly."""
     import jax.numpy as jnp
     import numpy as np
 
-    from .gp.gp import GpModel
     from .gp.trends import trend_basis
+
+    keep = np.asarray(e.mask)
+    x_norm = jnp.asarray(e.x_norm)
+    x = np.asarray(x_norm * e.x_std + e.x_mean)[keep]
+    fx = trend_basis(e.trend, x_norm)
+    y_norm = fx @ e.beta + e.r_chol @ (e.r_chol.T @ e.gamma)
+    y = np.asarray(y_norm * e.y_std + e.y_mean)[keep]
+    return x, y
+
+
+def _gp_expert_entry(e, label):
     from .moe.metrics import gp_fit_predict
+
+    x, y = _gp_expert_xy(e)
+    kpls_dim = None if e.w_star is None else int(e.w_star.shape[1])
+    hook = gp_fit_predict(
+        corr=e.corr, trend=e.trend, kpls_dim=kpls_dim, n_start=3,
+        seed=0, max_iters=20,
+    )
+    return (label, x, y, hook)
+
+
+def _load_recorder(path: str):
+    """Load an EGOR_USE_GP_RECORDER dump written by
+    ego/recorders.record_gp_models and reconstruct each recorded
+    surrogate's training data from its own state, so the reference
+    workflow EGOR_USE_GP_RECORDER=1 run -> `gpqa egor_gp_models.bin`
+    connects end-to-end (ref: crates/gpqa/src/main.rs:28-41, which loads
+    any Vec<Box<dyn MixtureGpSurrogate>> from the bincode dumps). Two
+    payload shapes exist, matching ego/solver._train: the batched dense
+    GpModel pytree (single-cluster fast path) and a tuple of MoeModel
+    pytrees (clustered / multi-combo path) — the latter yields one entry
+    per (output, expert) pair. Returns a list of
+    (label, x, y, fit_predict_hook) or None if the file is not a
+    recorder dump."""
+    import pickle
+
+    import jax
+
+    from .gp.gp import GpModel
+    from .moe.moe import MoeModel
 
     try:
         with open(path, "rb") as f:
             payload = pickle.load(f)
     except Exception:
         return None
-    if not isinstance(payload, GpModel):
-        return None
 
-    m = payload.theta.shape[0]
-    out = []
-    for k in range(m):
-        e = jax.tree_util.tree_map(lambda a, _k=k: a[_k], payload)
-        keep = np.asarray(e.mask)
-        x_norm = jnp.asarray(e.x_norm)
-        x = np.asarray(x_norm * e.x_std + e.x_mean)[keep]
-        fx = trend_basis(e.trend, x_norm)
-        y_norm = fx @ e.beta + e.r_chol @ (e.r_chol.T @ e.gamma)
-        y = np.asarray(y_norm * e.y_std + e.y_mean)[keep]
-        kpls_dim = None if e.w_star is None else int(e.w_star.shape[1])
-        hook = gp_fit_predict(
-            corr=e.corr, trend=e.trend, kpls_dim=kpls_dim, n_start=3,
-            seed=0, max_iters=20,
-        )
-        label = "objective" if k == 0 else f"constraint_{k - 1}"
-        out.append((label, x, y, hook))
-    return out
+    def _out_label(k):
+        return "objective" if k == 0 else f"constraint_{k - 1}"
+
+    if isinstance(payload, GpModel):
+        m = payload.theta.shape[0]
+        return [
+            _gp_expert_entry(
+                jax.tree_util.tree_map(lambda a, _k=k: a[_k], payload),
+                _out_label(k),
+            )
+            for k in range(m)
+        ]
+
+    if (
+        isinstance(payload, (tuple, list))
+        and payload
+        and all(isinstance(p, MoeModel) for p in payload)
+    ):
+        out = []
+        for k, mix in enumerate(payload):
+            base = _out_label(k)
+            multi = len(mix.experts) > 1
+            for j, e in enumerate(mix.experts):
+                if not isinstance(e, GpModel):
+                    # sparse experts hold inducing points, not training
+                    # rows — nothing to cross-validate against
+                    continue
+                label = f"{base}/expert_{j}" if multi else base
+                out.append(_gp_expert_entry(e, label))
+        return out
+
+    return None
 
 
 def assess(path: str, kfold=None):
