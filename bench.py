@@ -9,8 +9,8 @@ per restart on CPU. Here one full MLE fit (L-BFGS on the exact concentrated
 likelihood with its analytic O(n^3) adjoint) runs as one compiled XLA
 program on the MXU.
 
-Fit config: multi-fidelity MLE — 2 independent 2k-subsample multistarts
-(one vmapped program), then a vmapped 2-lane 1-iteration trust-region
+Fit config: multi-fidelity MLE — 3 independent 2k-subsample multistarts
+(one vmapped program), then a vmapped 3-lane 1-iteration trust-region
 polish on the full 10k data keeps the best final likelihood; f32,
 nugget 1e-3 (f32-scale regularization at n=10k). The final model is the
 exact full-data GP at the polished theta. The trust-region polish costs
@@ -20,8 +20,11 @@ multi-draw selection erases the subsample basin lottery. Measured on
 v5e 2026-08-18 in ONE session (tools/prof_r3c.py): 3x2k-draw pi2
 (round-3 shipped) 0.629 s / worst delta 0.49%, 2x2k pi2 0.449 s /
 1.03%, 3x2k pi1 0.503 s / 0.49%, 2x2k pi1 0.355 s / 1.03% — polish
-iterations past the first never move the deltas (basin-limited), so the
-shipped recipe is 2x2k pi1.
+iterations past the first never move the deltas (basin-limited). The
+round-4 shipped recipe is 3x2k pi1: the 2-draw point's 1.03% worst
+delta sat only 0.47pp under the old 1.5% gate (ADVICE r3), while 3
+draws hold 0.49% against a 1.0% gate at ~0.5 s — still 2x the 1 s
+north star.
 
 QUALITY GATE (VERDICT r2 item 3): the direct full-data fit likelihoods for
 seeds 1-3 were computed once on v5e (n_start=1, max_iters=12 — see
@@ -55,15 +58,19 @@ import time
 
 import numpy as np
 
-#: direct full-data fit likelihoods (n_start=1, max_iters=12, nugget=1e-3,
-#: f32) measured on v5e 2026-08-17; the multi-fidelity fit must stay within
-#: QUALITY_TOL_PCT of these
-GOLDEN_DIRECT_LKH = {1: 12311.2139, 2: 12226.0566, 3: 12379.1699}
-#: measured worst-seed deficit of the shipped 2-draw pi1 recipe is 1.03%
-#: (tools/prof_r3c.py, v5e 2026-08-18). The gate catches REGRESSIONS from
-#: that calibrated point: a fall back to a single subsample draw costs
-#: 2.7% on seed 3, the historical matmul-precision collapse cost >10%.
-QUALITY_TOL_PCT = 1.5
+#: CONVERGED direct full-data fit likelihoods (11-init multistart:
+#: theta0=0.1 + 10 maximin-LHS seeds, max_iters=50 each, nugget=1e-3, f32;
+#: tools/golden_r4.py, v5e 2026-08-19). The theta0=0.1 basin won on every
+#: seed — the round-2 n_start=1 goldens were already converged (deltas
+#: < 4e-5%), closing VERDICT r3 weak #2 ("the golden is itself weakly
+#: converged"). The multi-fidelity fit must stay within QUALITY_TOL_PCT.
+GOLDEN_DIRECT_LKH = {1: 12311.2178, 2: 12226.0645, 3: 12379.1768}
+#: measured worst-seed deficit of the shipped 3-draw pi1 recipe is 0.49%
+#: (tools/prof_r3c.py, v5e 2026-08-18; re-confirmed vs the converged
+#: goldens 2026-08-19). The gate catches REGRESSIONS from that calibrated
+#: point: a fall back to a single subsample draw costs 2.7% on seed 3,
+#: the historical matmul-precision collapse cost >10%.
+QUALITY_TOL_PCT = 1.0
 
 
 def _make_data(jnp, jax, seed, n, d, dtype):
@@ -94,8 +101,66 @@ def _g24(x):
     return np.stack([f, g1, g2], axis=1)
 
 
+#: timed Egor runs per metric — the median absorbs tunnel-roundtrip
+#: weather (the same code measured 7.59 vs 6.79 G24 iters/s on the same
+#: day; CLAUDE.md documents 1.1-4.4 iters/s day-to-day swings), VERDICT
+#: r3 weak #8
+EGOR_TIMED_RUNS = 3
+
+
+def _median_ips(run, max_iters):
+    """Median iters/s over EGOR_TIMED_RUNS fresh-seed runs (post-compile)."""
+    ips = []
+    for seed in (7, 11, 23)[:EGOR_TIMED_RUNS]:
+        t0 = time.perf_counter()
+        run(seed)
+        ips.append(max_iters / (time.perf_counter() - t0))
+    return float(np.median(ips))
+
+
+#: SGP-at-scale quality floor: 4/4 runs (FITC/VFE x 2 seeds) measured
+#: holdout Q2 in [0.9959, 0.9963] on 2026-08-19 (tools/prof_sgp50k.py,
+#: v5e) with the dense-subsample theta warm start; the gate catches the
+#: all-noise-basin collapse this recipe fixed (Q2 0.36 / -11.9 before)
+SGP_Q2_MIN = 0.98
+
+
+def _sgp_throughput(jax, jnp, n=50_000, m_ind=512, n_hold=2_000):
+    """Warm FITC fit wall time at n=50k, M=512 (VERDICT r3 item 2: the
+    designated big-n mechanism, previously never run above n=200) + a
+    holdout-Q2 quality check. Seed 0 warms the compile; seed 1 is timed."""
+    from egobox_tpu.gp.sgp import fit_sgp, sgp_predict
+
+    def run(seed):
+        x, y = _make_data(jnp, jax, seed, n + n_hold, 10, jnp.float32)
+        # SGP does not normalize x (reference parity): scale the +-600
+        # domain into the kernel's expressible length-scale range
+        x = x / 600.0
+        kn = jax.random.key(seed + 100)
+        yn = y + 0.05 * jnp.std(y) * jax.random.normal(
+            kn, y.shape, jnp.float32
+        )
+        xh, yh = x[n:], y[n:]
+        x, yn = x[:n], yn[:n]
+        _ = float(x[0, 0])
+        t0 = time.perf_counter()
+        mdl = fit_sgp(x, yn, n_inducing=m_ind, n_start=7, max_iters=60,
+                      seed=seed, subsample_warmstart=2000)
+        _ = float(mdl.likelihood)
+        t_fit = time.perf_counter() - t0
+        yp = np.asarray(sgp_predict(mdl, xh))
+        yh = np.asarray(yh)
+        q2 = 1.0 - float(
+            np.sum((yh - yp) ** 2) / np.sum((yh - yh.mean()) ** 2)
+        )
+        return t_fit, q2
+
+    run(0)  # compile
+    return run(1)
+
+
 def _egor_throughput(constrained: bool, max_iters: int = 20):
-    """Warm-compile with one run, then time a fresh-seed run."""
+    """Warm-compile with one run, then median-of-3 fresh-seed runs."""
     from egobox_tpu import ConstraintStrategy, Egor
 
     def make(seed):
@@ -109,29 +174,50 @@ def _egor_throughput(constrained: bool, max_iters: int = 20):
 
     fobj = _g24 if constrained else _xsinx
     make(42).minimize(fobj, max_iters=max_iters)  # compile all buckets
-    t0 = time.perf_counter()
-    make(7).minimize(fobj, max_iters=max_iters)
-    return max_iters / (time.perf_counter() - t0)
+    return _median_ips(
+        lambda seed: make(seed).minimize(fobj, max_iters=max_iters),
+        max_iters,
+    )
 
 
-def _egor_traced_throughput(max_iters: int = 20):
-    """Whole-run fused mode (ego/fused_run.py): the jax-traceable xsinx
-    runs in chunks of iterations per dispatch, so the tunnel roundtrip is
-    paid per CHUNK, not per iteration."""
+def _egor_traced_throughput(max_iters: int = 20, constrained: bool = False):
+    """Whole-run fused mode (ego/fused_run.py): the jax-traceable
+    objective runs in chunks of iterations per dispatch, so the tunnel
+    roundtrip is paid per CHUNK, not per iteration. ``constrained=True``
+    times G24 (2 traced surrogate constraints, UTB) — the traced-mode
+    constrained number VERDICT r3 weak #5 asked for."""
     import jax.numpy as jnp
 
-    from egobox_tpu import Egor
+    from egobox_tpu import ConstraintStrategy, Egor
 
     def xsinx_traced(x):
         return ((x - 3.5) * jnp.sin((x - 3.5) / jnp.pi)).reshape(-1, 1)
 
+    def g24_traced(x):
+        x = jnp.atleast_2d(x)
+        f = -x[:, 0] - x[:, 1]
+        g1 = (-2.0 * x[:, 0] ** 4 + 8.0 * x[:, 0] ** 3
+              - 8.0 * x[:, 0] ** 2 + x[:, 1] - 2.0)
+        g2 = (-4.0 * x[:, 0] ** 4 + 32.0 * x[:, 0] ** 3
+              - 88.0 * x[:, 0] ** 2 + 96.0 * x[:, 0] + x[:, 1] - 36.0)
+        return jnp.stack([f, g1, g2], axis=1)
+
     def make(seed):
+        if constrained:
+            return Egor(
+                [[0.0, 3.0], [0.0, 4.0]], n_cstr=2,
+                cstr_strategy=ConstraintStrategy.UTB,
+                cstr_tol=np.array([2e-6, 2e-6]), seed=seed, n_doe=5,
+                traced_run=True,
+            )
         return Egor([[0.0, 25.0]], seed=seed, traced_run=True)
 
-    make(42).minimize(xsinx_traced, max_iters=max_iters)  # compile
-    t0 = time.perf_counter()
-    make(7).minimize(xsinx_traced, max_iters=max_iters)
-    return max_iters / (time.perf_counter() - t0)
+    fobj = g24_traced if constrained else xsinx_traced
+    make(42).minimize(fobj, max_iters=max_iters)  # compile
+    return _median_ips(
+        lambda seed: make(seed).minimize(fobj, max_iters=max_iters),
+        max_iters,
+    )
 
 
 def main():
@@ -150,7 +236,7 @@ def main():
         _ = float(x[0, 0])  # force data on device before the clock starts
         t0 = time.perf_counter()
         m = gp.fit_gp(x, y, n_start=1, max_iters=4, nugget=1e-3,
-                      subsample_warmstart=2000, sub_draws=2,
+                      subsample_warmstart=2000, sub_draws=3,
                       polish_iters=1, grad_probes=64, polish_tr=True)
         lkh = float(m.likelihood)  # host sync = honest stop
         return time.perf_counter() - t0, lkh
@@ -168,9 +254,12 @@ def main():
     best = min(times)
     worst_delta = max(deltas)
 
+    sgp_s, sgp_q2 = _sgp_throughput(jax, jnp)
+
     xsinx_ips = _egor_throughput(constrained=False)
     g24_ips = _egor_throughput(constrained=True)
     traced_ips = _egor_traced_throughput()
+    g24_traced_ips = _egor_traced_throughput(constrained=True)
 
     baseline_s = 1.0  # north-star target: n=10k fit < 1 s on one v5e
     result = {
@@ -182,6 +271,9 @@ def main():
         "egor_xsinx_iters_per_s": round(xsinx_ips, 2),
         "egor_g24_iters_per_s": round(g24_ips, 2),
         "egor_xsinx_traced_iters_per_s": round(traced_ips, 2),
+        "egor_g24_traced_iters_per_s": round(g24_traced_ips, 2),
+        "sgp_fit_n50k_m512_s": round(sgp_s, 3),
+        "sgp_q2_holdout": round(sgp_q2, 4),
     }
     print(json.dumps(result))
     print(
@@ -195,6 +287,14 @@ def main():
             f"# QUALITY GATE FAILED: multi-fidelity fit is "
             f"{worst_delta:.2f}% below the direct-fit likelihood "
             f"(tolerance {QUALITY_TOL_PCT}%)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    if sgp_q2 < SGP_Q2_MIN:
+        print(
+            f"# SGP QUALITY GATE FAILED: holdout Q2 {sgp_q2:.4f} < "
+            f"{SGP_Q2_MIN} (the all-noise basin collapse the subsample "
+            f"warm start exists to prevent)",
             file=sys.stderr,
         )
         sys.exit(1)

@@ -473,6 +473,40 @@ class EgorSolver:
             and not os.environ.get("EGOBOX_NO_FUSED_STEP")
         )
 
+    def _fast_path_moe_ok(self, state: EgorState, fcstrs) -> bool:
+        """The fused CLUSTERED iteration (fused_select_point_moe) applies
+        when the clustering is already established and frozen for this
+        iteration (recluster events stay on the host path), a single
+        regr/corr combo is configured (no CV expert selection), every
+        output shares one (k, recombination), and the usual fused-path
+        conditions hold. Kill-switch: EGOBOX_NO_FUSED_MOE (on top of
+        EGOBOX_NO_FUSED_STEP). VERDICT r3 weak #3."""
+        gpc = self.config.gp_config
+        multi_combo = (
+            len(gpc.regr_names) > 1 or len(gpc.corr_names) > 1
+        )
+        if gpc.n_clusters == 1 and not multi_combo:
+            return False  # single-cluster fast path handles it
+        if multi_combo:
+            return False
+        if (
+            os.environ.get("EGOBOX_NO_FUSED_STEP")
+            or os.environ.get("EGOBOX_NO_FUSED_MOE")
+            or os.environ.get("EGOR_USE_GP_VAR_PORTFOLIO")
+        ):
+            return False
+        if self.config.q_points != 1 or self.config.coego_n_coop > 1:
+            return False
+        if fcstrs and not self._fcstrs_traceable(fcstrs):
+            return False
+        if state.clusterings is None or self.have_to_recluster(state):
+            return False
+        if len(state.clusterings) != state.y_data.shape[1]:
+            return False
+        ks = {g.n_clusters for g, _ in state.clusterings}
+        recombs = {r for _, r in state.clusterings}
+        return len(ks) == 1 and len(recombs) == 1
+
     def _theta_setup(self, state: EgorState, m: int):
         """Warm-start inits + bounds as device arrays — mirrors
         train_gp_surrogates' preparation without any host/device sync on
@@ -622,6 +656,103 @@ class EgorSolver:
         infill_value = float(-arr[self.nx])
         return xk[None, :], np.zeros((1, m)), infill_value
 
+    def _select_next_point_fused_moe(
+        self,
+        state: EgorState,
+        fmin: float,
+        xlimits: np.ndarray,
+        seed_xlimits: Optional[np.ndarray],
+        crit: str,
+        cstrat: str,
+        surrogate_tols,
+        fcstrs: Sequence[Callable] = (),
+    ):
+        """One fused device program for a CLUSTERED iteration: per-expert
+        masked fits + mixture infill optimization in-program, one host
+        fetch (fused_step.fused_select_point_moe). The clustering itself
+        (state.clusterings) was established by the host path and rides in
+        as traced gmx pytrees."""
+        from ..types import Recombination
+        from .fused_step import fused_select_point_moe
+
+        cfg = self.config
+        xt, yt = state.x_data, state.y_data
+        m = yt.shape[1]
+        xp, yp, mask = self._pad(xt, yt)
+        gmxs = tuple(g for g, _ in state.clusterings)
+        k = int(gmxs[0].n_clusters)
+        smooth = state.clusterings[0][1] is Recombination.SMOOTH
+
+        _, t_lo, t_up = self._theta_setup(state, m)
+        dim = (
+            self.spec.kpls_dim if self.spec.kpls_dim is not None
+            else self.nx
+        )
+        theta0s = state.moe_theta_inits
+        if theta0s is None or tuple(theta0s.shape) != (m, k, dim):
+            base = (
+                self.theta_init if self.theta_init is not None
+                else np.full((dim,), 0.1)
+            )
+            theta0s = jnp.asarray(
+                np.broadcast_to(np.asarray(base), (m, k, dim)).copy(),
+                default_dtype(),
+            )
+
+        optimize_theta = (state.iter % cfg.q_optmod) == 0
+        fit_key = jax.random.key(int(state.rng.integers(0, 2**31)))
+        cloud_key = self._next_key()
+        starts = jnp.asarray(
+            self._multistart_seeds(state, xt, xlimits, seed_xlimits)
+        )
+        feasibility = state.feasibility or not os.environ.get(
+            "EGOR_USE_MAX_PROBA_OF_FEASIBILITY"
+        )
+        dtype = xp.dtype
+        box_key = (
+            xlimits.tobytes(),
+            np.ascontiguousarray(surrogate_tols, dtype=float).tobytes(),
+        )
+        if box_key not in self._box_dev:
+            if len(self._box_dev) >= 32:
+                self._box_dev.pop(next(iter(self._box_dev)))
+            self._box_dev[box_key] = (
+                jnp.asarray(np.ascontiguousarray(xlimits[:, 0]), dtype),
+                jnp.asarray(np.ascontiguousarray(xlimits[:, 1]), dtype),
+                jnp.asarray(surrogate_tols, dtype),
+            )
+        lo_dev, hi_dev, tols_dev = self._box_dev[box_key]
+        n_fcstr = len(fcstrs)
+        fcstr_tols = (
+            jnp.asarray(state.cstr_tol[cfg.n_cstr:cfg.n_cstr + n_fcstr],
+                        dtype)
+            if n_fcstr else None
+        )
+        packed, models, theta_last = fused_select_point_moe(
+            xp, yp, mask, gmxs, theta0s, t_lo, t_up, fit_key, cloud_key,
+            starts, lo_dev, hi_dev, jnp.asarray(fmin, dtype), tols_dev,
+            fcstr_tols,
+            k_clusters=k, smooth=smooth,
+            corr=self.spec.corr, trend=self.spec.trend,
+            kpls_dim=self.spec.kpls_dim, gp_n_start=self.spec.n_start,
+            gp_max_iters=self.spec.max_iters, fixed=not optimize_theta,
+            nugget=self.spec.nugget, ls_batch=self.spec.ls_batch,
+            n_cloud=min(100 * self.nx, 1000),
+            crit=crit, cstr_strategy=cstrat, n_cstr=cfg.n_cstr,
+            cstr_infill=cfg.cstr_infill, feasibility=feasibility,
+            optimizer=_OPT_NAME[cfg.infill_optimizer],
+            fcstr_fns=tuple(fcstrs),
+        )
+        state.moe_theta_inits = theta_last  # stays on device (no sync)
+        # stale host-side expert params must not be reused after fused
+        # iterations (they no longer reflect the carried thetas)
+        state.moe_params = None
+        record_gp_models(cfg.outdir, state.iter, models)
+        arr = np.asarray(packed)  # the single host fetch
+        xk = arr[: self.nx]
+        infill_value = float(-arr[self.nx])
+        return xk[None, :], np.zeros((1, m)), infill_value
+
     def select_next_points(
         self,
         state: EgorState,
@@ -646,6 +777,13 @@ class EgorSolver:
             return self._select_next_point_fused(
                 state, fmin, xlimits, seed_xlimits, crit, cstrat,
                 state.cstr_tol[:n_cstr], fcstrs, qei,
+            )
+
+        if self._fast_path_moe_ok(state, fcstrs):
+            fmin = float(state.y_data[state.best_index, 0])
+            return self._select_next_point_fused_moe(
+                state, fmin, xlimits, seed_xlimits, crit, cstrat,
+                state.cstr_tol[:n_cstr], fcstrs,
             )
 
         surrogate_tols = jnp.asarray(state.cstr_tol[:n_cstr])

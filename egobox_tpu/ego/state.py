@@ -43,6 +43,10 @@ class EgorState:
     # reused as Fixed hyperparameters on q_optmod skip iterations
     # (ref: solver_impl.rs:643-645)
     moe_params: Optional[list] = None
+    # (m, k, dim) per-expert theta warm starts carried ON DEVICE by the
+    # fused clustered iteration (ego/fused_step.fused_select_point_moe);
+    # not checkpointed — a hot start merely refits from scratch
+    moe_theta_inits: Optional[object] = None
     rng: np.random.Generator = field(
         default_factory=lambda: np.random.default_rng(42)
     )

@@ -249,8 +249,28 @@ def fit_sgp_core(
     if n_start > 0:
         from ..doe.lhs import maximin_lhs
 
+        # The LHS multistart SEEDS sample a plausible sub-box, not the
+        # full optimization bounds: the raw (sigma2, noise) log box spans
+        # [1e-12, 9 var] x [~1e-5, 1e10], and at large n most of that
+        # volume drains into the degenerate all-noise basin (observed at
+        # n=50k: 2 of 4 fits collapsed to noise ~ 2 var(y), Q2 < 0 —
+        # tools/prof_sgp50k.py). Seeds keep theta's full range (the
+        # genuine unknown) but pin sigma2 to [1e-2, 9] var(y) and noise
+        # to [1e-6, 1e-1] var(y); the L-BFGS itself still optimizes over
+        # the FULL bounds, so degenerate optima remain reachable when the
+        # data supports them.
+        slo, sup = lo, up
+        v_log = jnp.log10(jnp.maximum(y_var, 1e-10))
+        slo = slo.at[dim].set(jnp.maximum(slo[dim], v_log - 2.0))
+        if estimate_noise:
+            slo = slo.at[dim + 1].set(
+                jnp.clip(v_log - 6.0, slo[dim + 1], up[dim + 1])
+            )
+            sup = sup.at[dim + 1].set(
+                jnp.clip(v_log - 1.0, slo[dim + 1], up[dim + 1])
+            )
         seeds = maximin_lhs(key, n_start, p0.shape[0], False, 5, dtype)
-        seeds = lo[None, :] + seeds * (up - lo)[None, :]
+        seeds = slo[None, :] + seeds * (sup - slo)[None, :]
         inits = jnp.concatenate([p0[None, :], seeds], axis=0)
     else:
         inits = p0[None, :]
@@ -295,6 +315,7 @@ def fit_sgp(
     max_iters: int = 50,
     seed: int = 0,
     nugget: Optional[float] = None,
+    subsample_warmstart: Optional[int] = None,
 ) -> SgpModel:
     """User-facing sparse-GP fit (ref: SgpParams + fit,
     sparse_algorithm.rs:416-648).
@@ -302,7 +323,18 @@ def fit_sgp(
     ``z`` gives located inducing points; otherwise ``n_inducing`` rows of
     the training set are picked at random (make_inducings, :833-847).
     ``noise`` is the fixed value (estimate_noise=False) or the initial guess.
-    """
+
+    ``subsample_warmstart=k`` (extension, no reference counterpart):
+    initialize theta from a dense-GP MLE on a k-row random subsample —
+    the dense fit estimates length scales robustly where the joint
+    (theta, sigma2, noise) SGP landscape is a basin lottery (measured at
+    n=50k: 2 of 4 raw multistarts collapsed into the all-noise optimum,
+    tools/prof_sgp50k.py). The dense theta is in normalized-x units;
+    every kernel multiplies theta into the distance linearly
+    (gp/kernels.py), so theta_raw = theta_norm / x_std. The same flag
+    defaults the noise init to 1e-2 var(y) (the absolute default 1e-2 is
+    ~zero against unnormalized y). Not supported with kpls_dim (the
+    rotation bases of the subsample and full data differ)."""
     x = jnp.atleast_2d(jnp.asarray(x))
     dtype = x.dtype
     y = jnp.asarray(y, dtype=dtype)
@@ -321,15 +353,41 @@ def fit_sgp(
     else:
         z = jnp.atleast_2d(jnp.asarray(z, dtype=dtype))
 
+    tb = theta_bounds if theta_bounds is not None else SGP_THETA_BOUNDS
+    tb = jnp.asarray(tb, dtype=dtype)
+    if tb.ndim == 1:
+        tb = jnp.broadcast_to(tb[None, :], (dim, 2))
+
+    if (
+        subsample_warmstart
+        and theta_init is None
+        and not theta_fixed
+    ):
+        if kpls_dim is not None:
+            raise ValueError(
+                "subsample_warmstart does not support kpls_dim (the "
+                "subsample's PLS rotation basis differs from the full "
+                "data's)"
+            )
+        from .fit import fit_gp
+
+        ks, key = jax.random.split(key)
+        ns = min(int(subsample_warmstart), n)
+        sub = jax.random.permutation(ks, n)[:ns]
+        msub = fit_gp(x[sub], y[sub], corr=corr, seed=seed)
+        # dense theta lives in normalized-x units; theta enters every
+        # kernel linearly against the distance -> divide by x_std
+        theta_init = jnp.clip(
+            msub.theta / msub.x_std, tb[:, 0], tb[:, 1]
+        )
+        if noise is None:
+            noise = 1e-2 * jnp.var(y, ddof=1)
+
     theta0 = jnp.broadcast_to(
         jnp.asarray(theta_init if theta_init is not None else 0.1,
                     dtype=dtype),
         (dim,),
     )
-    tb = theta_bounds if theta_bounds is not None else SGP_THETA_BOUNDS
-    tb = jnp.asarray(tb, dtype=dtype)
-    if tb.ndim == 1:
-        tb = jnp.broadcast_to(tb[None, :], (dim, 2))
     if theta_fixed:
         # ThetaTuning::Fixed: collapse theta bounds so only sigma2/noise
         # are optimized (ref: sparse_algorithm.rs:472)

@@ -9,11 +9,19 @@ from .dist_chol import (
     solve_lower_blockcyclic,
     solve_lower_rowsharded,
 )
+from .dist_chol import solve_upperT_blockcyclic
 from .dist_fit import (
     dist_grad_theta,
     dist_likelihood_parts,
     fit_theta_distributed,
     make_neg_rlf_distributed,
+)
+from .dist_model import (
+    DistGpModel,
+    dist_predict,
+    dist_predict_valvar,
+    dist_predict_var,
+    realize_dist_model,
 )
 from .sharding import (
     corr_cross_multichip,
@@ -27,6 +35,12 @@ from .sharding import (
 )
 
 __all__ = [
+    "DistGpModel",
+    "dist_predict",
+    "dist_predict_valvar",
+    "dist_predict_var",
+    "realize_dist_model",
+    "solve_upperT_blockcyclic",
     "block_cyclic_perm",
     "cholesky_blockcyclic",
     "cholesky_rowsharded",

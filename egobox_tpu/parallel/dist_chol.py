@@ -183,6 +183,59 @@ def solve_lower_blockcyclic(
     return fsolve(l_feed, rhs_feed)
 
 
+def solve_upperT_blockcyclic(
+    mesh: Mesh, l_feed: jnp.ndarray, rhs_feed: jnp.ndarray, bp: int
+) -> jnp.ndarray:
+    """Backward substitution L^T X = B with L and B in block-cyclic feed
+    layout; returns X in feed layout. Panels are eliminated in REVERSE
+    order: at panel k every device contributes
+    L_local[:, cols_k]^T @ X_local (only already-solved rows of panels
+    > k are nonzero — rows of panels < k have zero entries in column
+    block k by lower-triangularity), the psum lands on the owner, which
+    back-solves the bp x bp diagonal block transpose. Same O(n^2 p / D)
+    per-device GEMM cost and psum traffic as the forward solve.
+
+    This is the missing half of the distributed model realization:
+    gamma = L^-T (yt - Ft beta) without materializing an (n, n) inverse
+    (single-device counterpart: gp/likelihood.py gamma via two
+    solve_triangular calls, itself mirroring gp/src/algorithm.rs:988-1056).
+    """
+    n = l_feed.shape[1]
+    ax = _axis(mesh)
+    n_dev = mesh.devices.size
+    _check_shard(n, n_dev, bp)
+    npan = n // bp
+    n_loc = n // n_dev
+    p = rhs_feed.shape[1]
+    dtype = l_feed.dtype
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(ax, None), P(ax, None)),
+             out_specs=P(ax, None))
+    def bsolve(l_local, b_local):  # (n_loc, n), (n_loc, p)
+        idx = lax.axis_index(ax)
+        gpan, _ = _local_indices(n, n_dev, bp, idx)
+        x_local = jnp.zeros((n_loc, p), dtype)
+        for k in reversed(range(npan)):
+            o = k % n_dev
+            sl = (k // n_dev) * bp
+            mine = idx == o
+            colk = l_local[:, k * bp:(k + 1) * bp]  # (n_loc, bp)
+            # unsolved rows (panels <= k) are still zero in x_local, so
+            # the contraction needs no mask
+            s = lax.psum(colk.T @ x_local, ax)  # (bp, p)
+            diag = colk[sl:sl + bp, :]  # valid on the owner only
+            xk = solve_triangular(
+                diag.T, b_local[sl:sl + bp, :] - s, lower=False
+            )
+            xk = lax.psum(jnp.where(mine, xk, 0.0), ax)  # (bp, p)
+            xk_rows = jnp.zeros((n_loc, p), dtype)
+            xk_rows = lax.dynamic_update_slice(xk_rows, xk, (sl, 0))
+            x_local = jnp.where((gpan == k)[:, None], xk_rows, x_local)
+        return x_local
+
+    return bsolve(l_feed, rhs_feed)
+
+
 def tri_inverse_feed(
     mesh: Mesh, l_feed: jnp.ndarray, bp: int
 ) -> jnp.ndarray:

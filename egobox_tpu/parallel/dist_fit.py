@@ -15,7 +15,12 @@ n >= 50k could not run. This module completes it:
   + rinv_rows_feed), and the trace contraction reduces with psums. No step
   materializes an (n, n) buffer on one device. gamma is recovered as
   R^-1 (y - F beta) from the sharded R^-1 rows (no distributed *backward*
-  solve needed);
+  solve needed). ``grad_probes > 0`` swaps in the distributed Hutchinson
+  estimator (_dist_sqexp_dphi_stoch): NO explicit inverse at all — gamma
+  and the probe solves ride the block-cyclic triangular solve pair, and
+  peak extra memory drops from two more (n, n) feed buffers to
+  O(n x (d+2)p), which is what lets n=20k fit one v5e HBM
+  (tools/prof_dist20k.py);
 - ``make_neg_rlf_distributed``: fun_and_res / grad_from_res pair in
   log10-theta space for optim/lbfgsb.minimize_lbfgsb — the same optimizer
   the single-device fit uses, now with a multi-chip objective;
@@ -57,6 +62,7 @@ from .dist_chol import (
     pick_panel_size,
     rinv_rows_feed,
     solve_lower_blockcyclic,
+    solve_upperT_blockcyclic,
     tri_inverse_feed,
 )
 
@@ -123,6 +129,7 @@ def dist_likelihood_parts(
     nugget: float,
     bp: Optional[int] = None,
     w_star: Optional[jnp.ndarray] = None,
+    want_model: bool = False,
 ):
     """Distributed reduced likelihood + gradient residuals.
 
@@ -131,7 +138,13 @@ def dist_likelihood_parts(
     order GLS residual y_norm - F beta (replicated (n, 1)), sigma2_norm the
     normalized process variance. Failure semantics match the single-device
     reduced_likelihood: non-PD Gram / ill-conditioned Ft -> rlf = -inf
-    (the nugget-escalation retry in fit_gp depends on this)."""
+    (the nugget-escalation retry in fit_gp depends on this).
+
+    ``want_model=True`` extends aux with the whitened quantities the model
+    realization needs (parallel/dist_model.py): ft_feed = L^-1 F (feed
+    rows, sharded), gram_chol = chol(Ft^T Ft) (replicated (p, p) lower),
+    beta (p, 1), and rho_feed = yt - Ft beta (feed rows) whose backward
+    solve L^T gamma = rho yields gamma."""
     from jax.scipy.linalg import solve_triangular
 
     ax = _axis(mesh)
@@ -177,7 +190,116 @@ def dist_likelihood_parts(
     rlf = jnp.where(jnp.isfinite(rlf) & cond_ok, rlf, neg_inf)
 
     resid = y_norm - fx @ beta  # natural order, replicated
+    if want_model:
+        # rho = yt - Ft beta is the whitened GLS residual in feed rows
+        return rlf, (l_feed, resid, sigma2_norm, ft, c, beta, rho)
     return rlf, (l_feed, resid, sigma2_norm)
+
+
+def _dist_sqexp_dphi_stoch(
+    mesh: Mesh,
+    x_norm: jnp.ndarray,
+    theta: jnp.ndarray,
+    l_feed: jnp.ndarray,
+    resid: jnp.ndarray,
+    sigma2_norm: jnp.ndarray,
+    *,
+    bp: int,
+    probes: int,
+    w_star: Optional[jnp.ndarray] = None,
+):
+    """Distributed Hutchinson trace contraction — the multi-chip twin of
+    gp/likelihood._sqexp_dphi_stoch. The exact distributed adjoint
+    (dist_grad_theta below) materializes TWO more (n, n) feed buffers
+    (L^-1 and the R^-1 rows) on top of the carried factor — at n=20k f32
+    on a single-chip mesh that is 3x1.6 GB plus the unrolled panel-loop
+    transients, observed RESOURCE_EXHAUSTED on v5e (tools/prof_dist20k.py,
+    2026-08-19). This estimator never forms an inverse: gamma and
+    W = R^-1 Z come from the two block-cyclic triangular solves, every
+    (R o D_k) v product expands into R-matvecs riding the sharded factor
+    (R_feed = L L^T, t = psum(L_loc^T u_loc); ru = L_loc t), and all row
+    contractions psum. Peak extra memory is O(n x (d+2)p) — (n, 780)
+    vs (n, n) at d=10, p=64.
+
+    The probes reuse the single-device path's FIXED key, and every
+    contraction is permutation-invariant over rows, so this computes the
+    SAME estimate as _sqexp_dphi_stoch up to fp reduction order (parity
+    asserted in tests/test_dist_fit.py)."""
+    ax = _axis(mesh)
+    n, nx = x_norm.shape
+    n_dev = mesh.devices.size
+    dtype = x_norm.dtype
+    feedperm = block_cyclic_perm(n, n_dev, bp)
+    sh_rows = NamedSharding(mesh, P(ax, None))
+
+    # fixed probes (gp/likelihood._sqexp_dphi_stoch key): deterministic
+    # gradients inside the fit, bitwise-stable estimate
+    z = jax.random.rademacher(
+        jax.random.key(0xE60B0), (n, probes), dtype=dtype
+    )
+    z_feed = lax.with_sharding_constraint(z[feedperm], sh_rows)
+    x_feed = lax.with_sharding_constraint(x_norm[feedperm], sh_rows)
+    r_feed = lax.with_sharding_constraint(resid[feedperm], sh_rows)
+
+    # [gamma | W] = R^-1 [resid | Z] via the block-cyclic solve pair
+    rhs = jnp.concatenate([r_feed, z_feed], axis=1)
+    sol = solve_upperT_blockcyclic(
+        mesh, l_feed, solve_lower_blockcyclic(mesh, l_feed, rhs, bp), bp
+    )
+
+    w_in = (P(),) if w_star is not None else ()
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(ax, None), P(ax, None), P(ax, None), P(ax, None),
+                  P(), P()) + w_in,
+        out_specs=P(),
+    )
+    def contract(l_local, x_loc, z_loc, sol_loc, th, s2, *maybe_w):
+        w_rot = maybe_w[0] if maybe_w else None
+        g_loc = sol_loc[:, 0]  # gamma rows (feed)
+        w_loc = sol_loc[:, 1:]  # R^-1 Z rows (feed)
+        n_loc = x_loc.shape[0]
+        x2 = x_loc * x_loc
+        v3 = (x_loc[:, :, None] * z_loc[:, None, :]).reshape(
+            n_loc, nx * probes
+        )
+        v4 = x_loc * g_loc[:, None]
+        u = jnp.concatenate(
+            [z_loc, w_loc, v3, v4, g_loc[:, None]], axis=1
+        )
+        # R u = L (L^T u): columns of l_local are GLOBAL feed order, so
+        # L^T u is a psum over the row shards. Gradient-grade precision
+        # (same rationale as the single-device estimator).
+        prec = jax.lax.Precision.DEFAULT
+        t_all = lax.psum(
+            jnp.matmul(l_local.T, u, precision=prec), ax
+        )  # (n, p')
+        ru = jnp.matmul(l_local, t_all, precision=prec)  # (n_loc, p')
+        a = ru[:, :probes]  # (R Z) rows
+        b = ru[:, probes:2 * probes]  # (R W) rows
+        gmat = ru[:, 2 * probes:(2 + nx) * probes].reshape(
+            n_loc, nx, probes
+        )
+        rv4 = ru[:, (2 + nx) * probes:(2 + nx) * probes + nx]
+        rg = ru[:, -1]  # (R gamma) rows
+        h = jnp.sum(w_loc * a + z_loc * b, axis=1)  # (n_loc,)
+        term12 = lax.psum(x2.T @ h, ax)  # (nx,)
+        m3 = jnp.sum(w_loc[:, None, :] * gmat, axis=2)  # (n_loc, nx)
+        term3 = lax.psum(jnp.sum(x_loc * m3, axis=0), ax)
+        t_est = (term12 - 2.0 * term3) / probes
+        # exact rank-1 gamma term: gamma^T (R o D_k) gamma
+        q = lax.psum(jnp.sum(v4 * rv4, axis=0), ax)
+        ug = 2.0 * lax.psum(x2.T @ (g_loc * rg), ax) - 2.0 * q
+        s = t_est - ug / jnp.maximum(s2, 1e-300)
+        if w_rot is None:
+            return -th * s
+        return -th * ((w_rot**2).T @ s)
+
+    args = (l_feed, x_feed, z_feed, sol, theta, sigma2_norm) + (
+        (w_star,) if w_star is not None else ()
+    )
+    return contract(*args)
 
 
 def dist_grad_theta(
@@ -191,17 +313,36 @@ def dist_grad_theta(
     corr: str = "squared_exponential",
     bp: Optional[int] = None,
     w_star: Optional[jnp.ndarray] = None,
+    grad_probes: int = 0,
 ):
     """dphi/dtheta of phi(theta) = sum_ij C_ij log r_ij with
     C = (R^-1 - gamma gamma^T / s2) o R, fully on the row shards
     (distributed mirror of gp/likelihood._grad_trace_core). The diagonal
     of C multiplies dlog r_ii = 0 for every kernel, so the contraction
-    uses the raw cross-correlation rows (no jitter rebuild needed)."""
+    uses the raw cross-correlation rows (no jitter rebuild needed).
+
+    ``grad_probes > 0`` routes squared-exponential fits to the
+    O(n^2 d p / D) distributed Hutchinson estimator
+    (_dist_sqexp_dphi_stoch) instead of the exact adjoint's explicit
+    R^-1 — mandatory above n ~ 16k on a single-chip mesh (the exact
+    path's two extra (n, n) buffers exhaust one HBM). Same kill-switch
+    as the single-device path: EGOBOX_NO_STOCH_GRAD=1."""
+    import os
+
     ax = _axis(mesh)
     n = x_norm.shape[0]
     n_dev = mesh.devices.size
     if bp is None:
         bp = pick_panel_size(n, n_dev)
+    if (
+        grad_probes
+        and corr == "squared_exponential"
+        and os.environ.get("EGOBOX_NO_STOCH_GRAD") != "1"
+    ):
+        return _dist_sqexp_dphi_stoch(
+            mesh, x_norm, theta, l_feed, resid, sigma2_norm,
+            bp=bp, probes=grad_probes, w_star=w_star,
+        )
     feedperm = block_cyclic_perm(n, n_dev, bp)
     invperm = np.argsort(feedperm)
 
@@ -280,11 +421,13 @@ def make_neg_rlf_distributed(
     nugget: Optional[float] = None,
     bp: Optional[int] = None,
     kpls_dim: Optional[int] = None,
+    grad_probes: int = 0,
 ):
     """fun_and_res / grad_from_res pair in log10-theta space for
     minimize_lbfgsb — the distributed twin of
     gp/likelihood.make_neg_rlf_residual_api. Normalization (ddof=1, parity
     with fit_gp_core._masked_norm on a full mask) happens here once.
+    ``grad_probes``: see dist_grad_theta (stochastic-trace gradient).
 
     ``kpls_dim``: fit in the KPLS-reduced theta space — the PLS rotations
     are computed once on the (replicated) raw data, exactly as the
@@ -330,7 +473,7 @@ def make_neg_rlf_distributed(
         theta, l_feed, resid, s2 = res
         dphi = dist_grad_theta(
             mesh, x_norm, theta, l_feed, resid, s2, corr=corr, bp=bp,
-            w_star=w_star,
+            w_star=w_star, grad_probes=grad_probes,
         )
         # d(-rlf)/dt through theta = 10^t: the ln10 factors cancel
         # (cf. make_neg_rlf_residual_api.grad_from_res)
@@ -356,11 +499,13 @@ def fit_theta_distributed(
     polish_iters: int = 5,
     seed: int = 42,
     kpls_dim: Optional[int] = None,
+    grad_probes: int = 0,
 ):
     """Distributed full-data MLE for theta: optional single-device
     multistart warm start on an m-point subsample, then an L-BFGS polish
     whose likelihood AND gradient run on the row shards. Returns the
-    optimized theta (replicated (d,) array).
+    optimized theta (replicated (d,) array). ``grad_probes``: see
+    dist_grad_theta (memory-light stochastic-trace polish gradient).
 
     This is the capability VERDICT r2 called the highest-leverage gap:
     an actual multi-chip GP *fit* (not just a distributed value) at sizes
@@ -404,7 +549,7 @@ def fit_theta_distributed(
 
     fun_and_res, grad_from_res = make_neg_rlf_distributed(
         mesh, x, y, corr=corr, trend=trend, nugget=nugget, bp=bp,
-        kpls_dim=kpls_dim,
+        kpls_dim=kpls_dim, grad_probes=grad_probes,
     )
 
     res = minimize_lbfgsb(

@@ -79,6 +79,35 @@ def test_dist_grad_matches_single_device(mesh, corr):
     )
 
 
+def test_dist_stoch_grad_matches_single_device(mesh):
+    """The distributed Hutchinson gradient (grad_probes, the memory-light
+    path mandatory at n >= 16k on one chip) reuses the single-device
+    estimator's FIXED probe key, and every contraction is row-permutation
+    invariant — so both paths compute the SAME estimate up to fp
+    reduction order."""
+    x, y = _problem()
+    xs, ys = _normalized(x, y)
+    nug = 100.0 * float(jnp.finfo(x.dtype).eps)
+    t10 = jnp.log10(jnp.asarray([0.5, 0.8, 1.2]))
+
+    f_ref, g_ref = make_neg_rlf_residual_api(
+        "squared_exponential", "constant", xs, ys, y.std(0, ddof=1),
+        None, nug, stoch_probes=16,
+    )
+    _, res_ref = f_ref(t10)
+    gref = g_ref(t10, res_ref)
+
+    fd, gd = make_neg_rlf_distributed(
+        mesh, x, y, corr="squared_exponential", nugget=nug, grad_probes=16
+    )
+    _, res_d = fd(t10)
+    gv = gd(t10, res_d)
+
+    np.testing.assert_allclose(
+        np.asarray(gv), np.asarray(gref), rtol=1e-6, atol=1e-8
+    )
+
+
 def test_dist_fit_theta_matches_single_device(mesh):
     x, y = _problem(n=128, d=2, seed=7)
     xs, ys = _normalized(x, y)

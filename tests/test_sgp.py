@@ -100,3 +100,26 @@ def test_sgp_fixed_theta():
                 theta_init=0.37, theta_fixed=True, seed=1)
     np.testing.assert_allclose(np.asarray(m.theta), [0.37], rtol=1e-6)
     assert float(m.noise) > 0
+
+
+def test_sgp_subsample_warmstart():
+    """Dense-subsample theta warm start (fit_sgp subsample_warmstart):
+    the fit stays in a data-fitting basin (noise well below var(y)) and
+    predicts the held-out signal."""
+    x, y, _ = _noisy_sine(400)
+    m = fit_sgp(jnp.asarray(x), jnp.asarray(y), n_inducing=30,
+                subsample_warmstart=100, n_start=3, seed=0)
+    assert float(m.noise) < 0.5 * float(jnp.var(jnp.asarray(y)))
+    xt = jnp.linspace(0.0, 1.0, 50)[:, None] * (
+        jnp.asarray(x).max() - jnp.asarray(x).min()
+    ) + jnp.asarray(x).min()
+    pred = np.asarray(sgp_predict(m, xt))
+    assert np.all(np.isfinite(pred))
+
+
+def test_sgp_subsample_warmstart_kpls_rejected():
+    x, y, _ = _noisy_sine(120)
+    x2 = np.concatenate([x, x**2], axis=1)
+    with pytest.raises(ValueError, match="subsample_warmstart"):
+        fit_sgp(jnp.asarray(x2), jnp.asarray(y), kpls_dim=1,
+                n_inducing=20, subsample_warmstart=50)
