@@ -366,6 +366,19 @@ def fused_select_point_moe(
     (_fast_path_moe_ok) falls back to the host path otherwise.
     Ref: make_clustered_surrogate, solver_impl.rs:121-296.
 
+    Known divergences from the reference's clustered retrain
+    (moe/src/algorithm.rs:179-194), by design:
+
+    - the heaviside factor AND the GMM stay FROZEN between host-side
+      recluster events — the reference re-runs the heaviside holdout
+      search whenever it retrains smooth mixtures, this path only
+      refits the experts (the factor is refreshed at the next
+      recluster, every 10 appended points);
+    - a cluster with < 3 active rows widens to the FULL valid mask
+      (matching moe.train_moe_on_clusters' host fallback, verified
+      lane-by-lane in tests/test_fused_moe.py), while train_moe's
+      initial fit falls back to all-cluster-rows instead.
+
     Returns (packed [x (nx), -crit (1)], models tuple, theta_last
     (m, k, dim))."""
     from ..moe.gaussian_mixture import predict_cluster
