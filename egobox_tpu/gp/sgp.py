@@ -195,7 +195,7 @@ def sgp_predict_var_gradients(model: SgpModel, x: jnp.ndarray) -> jnp.ndarray:
 @partial(
     jax.jit,
     static_argnames=("corr", "method", "kpls_dim", "n_start", "max_iters",
-                     "estimate_noise"),
+                     "estimate_noise", "ls_batch"),
 )
 def fit_sgp_core(
     x, y, z, theta0, bounds_lo, bounds_up, noise0, noise_bounds, key,
@@ -207,6 +207,7 @@ def fit_sgp_core(
     max_iters: int = 50,
     estimate_noise: bool = True,
     nugget: float = 1e-10,
+    ls_batch: int = 0,
 ) -> SgpModel:
     dtype = x.dtype
     dim = theta0.shape[0]
@@ -276,7 +277,10 @@ def fit_sgp_core(
         inits = p0[None, :]
 
     res = jax.vmap(
-        lambda p: minimize_lbfgsb(neg_lkh, p, lo, up, max_iters=max_iters)
+        lambda p: minimize_lbfgsb(
+            neg_lkh, p, lo, up, max_iters=max_iters, ls_batch=ls_batch,
+            final_grad=False,
+        )
     )(inits)
     best = jnp.argmin(res.fun)
     theta, sigma2, noise = unpack(res.x[best])
@@ -316,6 +320,7 @@ def fit_sgp(
     seed: int = 0,
     nugget: Optional[float] = None,
     subsample_warmstart: Optional[int] = None,
+    ls_batch: int = 0,
 ) -> SgpModel:
     """User-facing sparse-GP fit (ref: SgpParams + fit,
     sparse_algorithm.rs:416-648).
@@ -409,4 +414,5 @@ def fit_sgp(
         x, y, z, theta0, tb[:, 0], tb[:, 1], noise0, nb, key,
         corr=corr, method=method, kpls_dim=kpls_dim, n_start=n_start,
         max_iters=max_iters, estimate_noise=estimate_noise, nugget=nugget,
+        ls_batch=ls_batch,
     )

@@ -18,9 +18,11 @@ from .dist_fit import (
 )
 from .dist_model import (
     DistGpModel,
+    dist_posterior_cov,
     dist_predict,
     dist_predict_valvar,
     dist_predict_var,
+    dist_sample,
     realize_dist_model,
 )
 from .sharding import (
@@ -36,6 +38,8 @@ from .sharding import (
 
 __all__ = [
     "DistGpModel",
+    "dist_posterior_cov",
+    "dist_sample",
     "dist_predict",
     "dist_predict_valvar",
     "dist_predict_var",

@@ -56,7 +56,27 @@ from .dist_fit import dist_likelihood_parts
 class DistGpModel:
     """Trained GP whose (n,*) state lives row-sharded on the mesh in
     block-cyclic feed layout (dist_chol.block_cyclic_perm). Replicated
-    fields are O(n) at most (none of the O(n^2) factors)."""
+    fields are O(n) at most (none of the O(n^2) factors).
+
+    Capability boundary vs the single-device ``GpModel`` (everything the
+    mesh serves stays sharded; anything needing the gathered (n, n)
+    factor or host-side persistence is out of scope for v1):
+
+    ========================  =========================================
+    supported                 predict / predict_var / predict_valvar,
+                              posterior_cov + sample (q x q replicated),
+                              likelihood, sigma2, theta, beta,
+                              n_train / dims
+    NOT supported             save/load (the typed expert registry only
+                              serializes gatherable pytrees — ``save``
+                              raises), use as an Egor/MoE surrogate,
+                              gpqa recorder dumps,
+                              predict_kth_derivatives
+    ========================  =========================================
+
+    To persist or feed downstream consumers, refit without ``mesh=`` (or
+    pass ``mesh_materialize=True`` to ``fit_gp``) — that returns a plain
+    ``GpModel`` at the same theta."""
 
     x_norm_feed: jnp.ndarray  # (n, nx) sharded P(rows, None)
     x_mean: jnp.ndarray  # (nx,)
@@ -86,6 +106,20 @@ class DistGpModel:
 
     def predict_valvar(self, x):
         return dist_predict_valvar(self, x)
+
+    def posterior_cov(self, x):
+        return dist_posterior_cov(self, x)
+
+    def sample(self, x, n_traj: int, key, method: str = "eig"):
+        return dist_sample(self, x, n_traj, key, method=method)
+
+    def save(self, path):
+        raise NotImplementedError(
+            "DistGpModel holds mesh-sharded (n, n) state and cannot be "
+            "serialized by the typed expert registry; refit with "
+            "fit_gp(..., mesh_materialize=True) (or without mesh=) to get "
+            "a persistable GpModel at the same theta"
+        )
 
     @property
     def n_train(self):
@@ -256,3 +290,56 @@ def dist_predict_valvar(model: DistGpModel, x: jnp.ndarray):
     u = solve_triangular(model.gram_chol, ftrt - f.T, lower=True)
     mse = model.sigma2 * (1.0 - rt2 + jnp.sum(u**2, axis=0))
     return mean, jnp.maximum(mse, 0.0)
+
+
+def _rt_gram(model: DistGpModel, rt_feed: jnp.ndarray):
+    """(rt^T rt (q, q), Ft^T rt (p, q)) — full Gram this time (the
+    variance path only needs the diagonal), one psum each."""
+    mesh, ax = model.mesh, _axis(model.mesh)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(ax, None), P(ax, None)), out_specs=(P(), P()))
+    def sums(rt_loc, ft_loc):
+        rtg = lax.psum(rt_loc.T @ rt_loc, ax)  # (q, q)
+        ftrt = lax.psum(ft_loc.T @ rt_loc, ax)  # (p, q)
+        return rtg, ftrt
+
+    return sums(rt_feed, model.ft_feed)
+
+
+def dist_posterior_cov(model: DistGpModel, x: jnp.ndarray) -> jnp.ndarray:
+    """Posterior covariance at x (q, nx) -> (q, q) REPLICATED — the
+    sharded twin of gp/gp.py posterior_cov (ref algorithm.rs:310-326):
+    one distributed forward solve against the sharded factor, then the
+    (q, q) Gram corrections ride two psums. O(q^2) leaves the shards,
+    never O(n^2)."""
+    mesh = model.mesh
+    xq = (jnp.atleast_2d(x) - model.x_mean) / model.x_std
+    f = trend_basis(model.trend, xq)
+    r_feed = _cross_corr_feed(model, xq)  # (n, q) sharded
+    rt_feed = solve_lower_blockcyclic(mesh, model.l_feed, r_feed, model.bp)
+    rtg, ftrt = _rt_gram(model, rt_feed)
+    u = solve_triangular(model.gram_chol, ftrt - f.T, lower=True)
+    k = corr_cross(model.corr, xq, xq, model.theta, model.w_star)
+    return model.sigma2 * (k - rtg + u.T @ u)
+
+
+def dist_sample(model: DistGpModel, x: jnp.ndarray, n_traj: int, key,
+                method: str = "eig") -> jnp.ndarray:
+    """Conditioned trajectories at x -> (q, n_traj), matching
+    gp/gp.py sample (ref algorithm.rs:383-410): the covariance root is
+    taken on the replicated (q, q) posterior covariance — only the
+    cross-correlation solve is distributed."""
+    cov = dist_posterior_cov(model, x)
+    q = cov.shape[0]
+    if method == "chol":
+        c = jnp.linalg.cholesky(
+            cov + 1e-9 * model.sigma2 * jnp.eye(q, dtype=cov.dtype)
+        )
+    else:
+        evals, evecs = jnp.linalg.eigh(cov)
+        evals = jnp.maximum(evals, 1e-9)
+        c = evecs @ (jnp.sqrt(evals)[:, None] * evecs.T)
+    mean = dist_predict(model, x)[:, None]
+    z = jax.random.normal(key, (q, n_traj), dtype=cov.dtype)
+    return mean + c @ z
