@@ -144,7 +144,14 @@ def _sgp_throughput(jax, jnp, n=50_000, m_ind=512, n_hold=2_000):
         x, yn = x[:n], yn[:n]
         _ = float(x[0, 0])
         t0 = time.perf_counter()
-        mdl = fit_sgp(x, yn, n_inducing=m_ind, n_start=7, max_iters=60,
+        # round-5 recipe (tools/prof_sgp_r5.py ladder, v5e 2026-08-19):
+        # the shipped ns7/mi60 measured 17.5 s with lkh -122308; ns2/mi30
+        # gives the SAME likelihood (-122248, marginally better) at
+        # 9.3 s — lanes past 2 and iterations past 30 never moved the
+        # optimum. The dense warm-start subfit is additionally budgeted
+        # (3 starts x 20 iters x parallel line search, gp/sgp.py) — it
+        # alone was 11.6 s at full defaults.
+        mdl = fit_sgp(x, yn, n_inducing=m_ind, n_start=2, max_iters=30,
                       seed=seed, subsample_warmstart=2000)
         _ = float(mdl.likelihood)
         t_fit = time.perf_counter() - t0

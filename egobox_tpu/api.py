@@ -391,13 +391,22 @@ class SparseGpMix:
         z=None,
         method: SparseMethod = SparseMethod.FITC,
         seed: Optional[int] = None,
+        subsample_warmstart: Optional[int] = None,
     ):
+        """``subsample_warmstart`` (extension, no reference counterpart):
+        initialize theta from a budgeted dense-GP MLE on a k-row random
+        subsample — at large n the joint (theta, sigma2, noise) SGP
+        landscape is a basin lottery (measured n=50k: 2/4 raw
+        multistarts collapsed into the all-noise optimum, Q2 < 0;
+        gp/sgp.py fit_sgp). Recommended at n >= 10k: the bench recipe
+        uses subsample_warmstart=2000 (tools/prof_sgp50k.py)."""
         self.corr_spec = corr_spec
         self.theta_init = theta_init
         self.theta_bounds = theta_bounds
         self.kpls_dim = kpls_dim
         self.n_start = n_start
         self.nz = nz
+        self.subsample_warmstart = subsample_warmstart
         self.z = z
         self.method = method
         self.seed = seed if seed is not None else 0
@@ -415,6 +424,7 @@ class SparseGpMix:
             kpls_dim=self.kpls_dim,
             n_start=self.n_start,
             seed=self.seed,
+            subsample_warmstart=self.subsample_warmstart,
         )
         return SparseGpx(model, (xt, yt))
 

@@ -449,6 +449,7 @@ def fit_gp(
     polish_tr: bool = False,
     sub_draws: int = 1,
     subsample_warmstart2: Optional[int] = None,
+    ls_batch: int = 0,
 ) -> GpModel:
     """User-facing fit (ref: GpParams + Fit, gp/src/algorithm.rs:785-980).
 
@@ -652,7 +653,7 @@ def fit_gp(
                 active_mask, key,
                 corr=corr, trend=trend, kpls_dim=kpls_dim,
                 n_start=n_start, max_iters=max_iters, fixed=False,
-                nugget=nugget,
+                nugget=nugget, ls_batch=ls_batch,
             )
             theta0 = jnp.clip(m0.theta, bounds_lo, bounds_up)
         if not use_fused_recipe:
@@ -691,7 +692,7 @@ def fit_gp(
                 key,
                 corr=corr, trend=trend, kpls_dim=kpls_dim,
                 n_start=n_start, max_iters=max_iters, fixed=theta_fixed,
-                nugget=nugget,
+                nugget=nugget, ls_batch=ls_batch,
                 residual_api=polish_residual or in_polish,
                 grad_probes=grad_probes, tr=in_polish,
             )

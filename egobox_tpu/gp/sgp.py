@@ -208,6 +208,7 @@ def fit_sgp_core(
     estimate_noise: bool = True,
     nugget: float = 1e-10,
     ls_batch: int = 0,
+    theta0_alt=None,
 ) -> SgpModel:
     dtype = x.dtype
     dim = theta0.shape[0]
@@ -235,6 +236,19 @@ def fit_sgp_core(
     up = jnp.concatenate(up_list)
     p0 = jnp.concatenate(p0_list)
     p0 = jnp.clip(p0, lo, up)
+    # ``theta0_alt``: an extra full-strength init lane at a second theta
+    # (the subsample-warmstart path keeps the DEFAULT init alongside the
+    # warm one — a dense-subfit theta that lands in a bad basin for the
+    # joint SGP objective must not evict the init that works; observed
+    # on a 2-d noisy sine: warm-replacing-default diverged into the
+    # all-noise optimum, Q2 -0.01, while either lane alone or both
+    # together recover Q2 0.99)
+    p0s = [p0]
+    if theta0_alt is not None:
+        p0_alt = jnp.concatenate(
+            [jnp.log10(theta0_alt)] + p0_list[1:]
+        )
+        p0s.append(jnp.clip(p0_alt, lo, up))
 
     def unpack(p):
         theta = 10.0 ** p[:dim]
@@ -272,9 +286,9 @@ def fit_sgp_core(
             )
         seeds = maximin_lhs(key, n_start, p0.shape[0], False, 5, dtype)
         seeds = slo[None, :] + seeds * (sup - slo)[None, :]
-        inits = jnp.concatenate([p0[None, :], seeds], axis=0)
+        inits = jnp.concatenate([jnp.stack(p0s), seeds], axis=0)
     else:
-        inits = p0[None, :]
+        inits = jnp.stack(p0s)
 
     res = jax.vmap(
         lambda p: minimize_lbfgsb(
@@ -363,6 +377,7 @@ def fit_sgp(
     if tb.ndim == 1:
         tb = jnp.broadcast_to(tb[None, :], (dim, 2))
 
+    theta0_alt = None
     if (
         subsample_warmstart
         and theta_init is None
@@ -379,14 +394,35 @@ def fit_sgp(
         ks, key = jax.random.split(key)
         ns = min(int(subsample_warmstart), n)
         sub = jax.random.permutation(ks, n)[:ns]
-        msub = fit_gp(x[sub], y[sub], corr=corr, seed=seed)
+        # budgeted subfit: with full fit_gp defaults (11 lanes x 50
+        # iters, SEQUENTIAL line search) this warm start alone measured
+        # 11.6 s of the 18.6 s n=50k SGP fit (tools/prof_sgp_r5.py P0,
+        # v5e 2026-08-19). The SGP L-BFGS polishes in ITS OWN parameter
+        # space afterwards — the dense theta only has to land in the
+        # right basin, so a 3-start/20-iter parallel-line-search fit is
+        # plenty (quality guarded by bench.py's Q2 >= 0.98 gate).
+        msub = fit_gp(x[sub], y[sub], corr=corr, seed=seed,
+                      n_start=3, max_iters=20, ls_batch=8)
         # dense theta lives in normalized-x units; theta enters every
         # kernel linearly against the distance -> divide by x_std
         theta_init = jnp.clip(
             msub.theta / msub.x_std, tb[:, 0], tb[:, 1]
         )
+        # keep the DEFAULT init as an extra lane next to the warm one:
+        # the dense subfit has no noise term, so on very noisy data its
+        # theta can land in a basin from which the joint SGP L-BFGS
+        # diverges into the all-noise optimum (fit_sgp_core theta0_alt)
+        theta0_alt = jnp.full((dim,), 0.1, dtype=dtype)
         if noise is None:
-            noise = 1e-2 * jnp.var(y, ddof=1)
+            # 1e-1 var(y), NOT smaller: a noise init well below the
+            # residual scale of the still-underfit kernel produces a
+            # huge log-noise gradient whose first line-search step
+            # overshoots into the all-noise plateau and never returns
+            # (measured grid, 2-d noisy sine n=3k: inits <= 1e-2 var
+            # diverge to noise ~ 1e9 from EITHER theta init; 1e-1 var
+            # converges from either — descending INTO the optimum from
+            # above is safe, ascending from below is not)
+            noise = 1e-1 * jnp.var(y, ddof=1)
 
     theta0 = jnp.broadcast_to(
         jnp.asarray(theta_init if theta_init is not None else 0.1,
@@ -414,5 +450,5 @@ def fit_sgp(
         x, y, z, theta0, tb[:, 0], tb[:, 1], noise0, nb, key,
         corr=corr, method=method, kpls_dim=kpls_dim, n_start=n_start,
         max_iters=max_iters, estimate_noise=estimate_noise, nugget=nugget,
-        ls_batch=ls_batch,
+        ls_batch=ls_batch, theta0_alt=theta0_alt,
     )

@@ -123,3 +123,29 @@ def test_sgp_subsample_warmstart_kpls_rejected():
     with pytest.raises(ValueError, match="subsample_warmstart"):
         fit_sgp(jnp.asarray(x2), jnp.asarray(y), kpls_dim=1,
                 n_inducing=20, subsample_warmstart=50)
+
+
+def test_sgp_warmstart_robust_to_bad_dense_basin():
+    """Round-5 robustness regression (measured on a 2-d noisy sine,
+    n=3000): the dense subfit has no noise term, so on wiggly noisy data
+    its theta can land where the joint SGP L-BFGS diverges into the
+    all-noise plateau (noise -> 1e9, Q2 ~ 0). Two guards now hold:
+    (1) the DEFAULT theta init rides along as an extra lane
+    (fit_sgp_core theta0_alt), (2) the warm noise init is 1e-1 var(y) —
+    starting BELOW the underfit kernel's residual scale overshoots into
+    the plateau on the first line search. This config reproduced the
+    collapse before both fixes."""
+    rng = np.random.default_rng(0)
+    xs = rng.uniform(-1, 1, (1200, 2))
+    ys = (np.sin(3 * xs[:, 0]) * np.cos(2 * xs[:, 1])
+          + 0.05 * rng.standard_normal(1200))
+    m = fit_sgp(jnp.asarray(xs), jnp.asarray(ys), n_inducing=40,
+                n_start=2, seed=0, subsample_warmstart=400)
+    # the all-noise plateau has noise >> var(y); a healthy fit sits well
+    # below it and explains the held-in signal
+    assert float(m.noise) < 0.5 * float(jnp.var(jnp.asarray(ys)))
+    yp = np.asarray(sgp_predict(m, jnp.asarray(xs[:300])))
+    q2 = 1.0 - ((ys[:300] - yp) ** 2).sum() / (
+        (ys[:300] - ys[:300].mean()) ** 2
+    ).sum()
+    assert q2 > 0.9, q2

@@ -1,0 +1,119 @@
+"""Diagnose the n=20k distributed-fit OOM (prof_dist20k RESOURCE_EXHAUSTED
+at the first dist_likelihood_parts evaluation, v5e 2026-08-19) in stages:
+
+  S0  free-HBM probe: allocate 1 GB f32 buffers until failure
+  S1  ONE dist_likelihood_parts eval at n=20k (Gram + block-cyclic chol
+      + solves) — no L-BFGS wrapper
+  S2  realize_dist_model + sharded predict at a warm-started theta
+      (the SERVING claim at n=20k: only r/l feeds + O(n) live)
+  S3  fit_gp(mesh=...) with a lighter polish (polish_iters=1,
+      grad_probes=32) — the full-fit claim at reduced peak
+
+Each stage prints before it runs so the log shows exactly where HBM dies.
+Usage: python tools/prof_dist20k_mem.py  (TPU)
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("EGOBOX_TPU_NO_X64", "1")
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    out = {}
+
+    # S0: free-HBM probe (1 GB f32 chunks)
+    bufs = []
+    try:
+        for i in range(24):
+            b = jnp.ones((256, 1024, 1024), jnp.float32)  # 1 GiB
+            _ = float(b[0, 0, 0])
+            bufs.append(b)
+    except Exception as e:  # noqa: BLE001
+        out["free_hbm_gib"] = len(bufs)
+        out["s0_err"] = type(e).__name__
+    else:
+        out["free_hbm_gib"] = len(bufs)
+    del bufs
+    print(f"S0 free_hbm_gib={out['free_hbm_gib']}", flush=True)
+
+    from egobox_tpu.gp.fit import fit_gp
+    from egobox_tpu.parallel import realize_dist_model
+    from egobox_tpu.parallel.dist_fit import dist_likelihood_parts
+
+    from bench import _make_data
+
+    n, d, n_q = 20_000, 10, 512
+    dtype = jnp.float32
+    mesh = Mesh(np.array(jax.devices()[:1]), ("rows",))
+    x, y = _make_data(jnp, jax, 1, n + n_q, d, dtype)
+    xq = x[n:]
+    x, y = x[:n], y[:n]
+    xm, xs = jnp.mean(x, axis=0), jnp.std(x, axis=0, ddof=1)
+    ym, ys = jnp.mean(y), jnp.std(y, ddof=1)
+    xn = (x - xm) / xs
+    yn = ((y - ym) / ys)[:, None]
+    theta = jnp.full((d,), 0.2, dtype)
+
+    # S1: one likelihood eval
+    print("S1 dist_likelihood_parts ...", flush=True)
+    try:
+        t0 = time.perf_counter()
+        rlf, _ = dist_likelihood_parts(
+            mesh, xn, yn, theta, corr="squared_exponential",
+            trend="constant", nugget=1e-3, bp=None,
+        )
+        out["s1_rlf"] = float(rlf)
+        out["s1_s"] = round(time.perf_counter() - t0, 2)
+    except Exception as e:  # noqa: BLE001
+        out["s1_err"] = f"{type(e).__name__}: {str(e)[:120]}"
+    print(f"S1 {out.get('s1_s', out.get('s1_err'))}", flush=True)
+
+    # S2: warm-started realize + serve
+    print("S2 realize + predict ...", flush=True)
+    try:
+        sub = np.random.default_rng(0).permutation(n)[:2000]
+        m0 = fit_gp(x[sub], y[sub], nugget=1e-3, n_start=3, max_iters=20,
+                    ls_batch=8)
+        th = m0.theta
+        t0 = time.perf_counter()
+        dm = realize_dist_model(mesh, x, y, th, nugget=1e-3)
+        lkh = float(dm.likelihood)
+        t_real = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mean, var = dm.predict_valvar(xq)
+        _ = float(mean[0]) + float(var[0])
+        out["s2_realize_s"] = round(t_real, 2)
+        out["s2_pred512_s"] = round(time.perf_counter() - t0, 3)
+        out["s2_lkh"] = lkh
+    except Exception as e:  # noqa: BLE001
+        out["s2_err"] = f"{type(e).__name__}: {str(e)[:120]}"
+    print(f"S2 {out.get('s2_realize_s', out.get('s2_err'))}", flush=True)
+
+    # S3: full distributed fit, lighter polish
+    print("S3 fit_gp(mesh=...) polish_iters=1 probes=32 ...", flush=True)
+    try:
+        t0 = time.perf_counter()
+        m = fit_gp(
+            x, y, nugget=1e-3, mesh=mesh, subsample_warmstart=2000,
+            polish_iters=1, grad_probes=32,
+        )
+        out["s3_lkh"] = float(m.likelihood)
+        out["s3_fit_s"] = round(time.perf_counter() - t0, 2)
+    except Exception as e:  # noqa: BLE001
+        out["s3_err"] = f"{type(e).__name__}: {str(e)[:120]}"
+    print(f"S3 {out.get('s3_fit_s', out.get('s3_err'))}", flush=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
