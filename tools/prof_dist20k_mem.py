@@ -30,7 +30,9 @@ def main():
 
     out = {}
 
-    # S0: free-HBM probe (1 GB f32 chunks)
+    # S0: free-HBM probe (1 GB f32 chunks) — buffers EXPLICITLY deleted
+    # (first run: `del bufs` left 15 GiB held until GC and S1 died on
+    # allocation; free_hbm_gib measured 15)
     bufs = []
     try:
         for i in range(24):
@@ -42,6 +44,8 @@ def main():
         out["s0_err"] = type(e).__name__
     else:
         out["free_hbm_gib"] = len(bufs)
+    for b in bufs:
+        b.delete()
     del bufs
     print(f"S0 free_hbm_gib={out['free_hbm_gib']}", flush=True)
 
