@@ -10,7 +10,11 @@ at the first dist_likelihood_parts evaluation, v5e 2026-08-19) in stages:
       grad_probes=32) — the full-fit claim at reduced peak
 
 Each stage prints before it runs so the log shows exactly where HBM dies.
-Usage: python tools/prof_dist20k_mem.py  (TPU)
+Take-3 lesson: stages contaminate each other — the axon allocator
+reclaims dead buffers LAZILY, so S1's (n,n) feeds were still resident
+when S2 allocated (S1 standalone passed at 723 s incl. compile, then
+S2/S3 died RESOURCE_EXHAUSTED). Run ONE stage per process:
+Usage: python tools/prof_dist20k_mem.py [s1|s2|s3]  (TPU)
 """
 import json
 import os
@@ -22,7 +26,7 @@ os.environ.setdefault("EGOBOX_TPU_NO_X64", "1")
 sys.path.insert(0, ".")
 
 
-def main():
+def main(stage="all"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -30,24 +34,10 @@ def main():
 
     out = {}
 
-    # S0: free-HBM probe (1 GB f32 chunks) — buffers EXPLICITLY deleted
-    # (first run: `del bufs` left 15 GiB held until GC and S1 died on
-    # allocation; free_hbm_gib measured 15)
-    bufs = []
-    try:
-        for i in range(24):
-            b = jnp.ones((256, 1024, 1024), jnp.float32)  # 1 GiB
-            _ = float(b[0, 0, 0])
-            bufs.append(b)
-    except Exception as e:  # noqa: BLE001
-        out["free_hbm_gib"] = len(bufs)
-        out["s0_err"] = type(e).__name__
-    else:
-        out["free_hbm_gib"] = len(bufs)
-    for b in bufs:
-        b.delete()
-    del bufs
-    print(f"S0 free_hbm_gib={out['free_hbm_gib']}", flush=True)
+    # S0 (REMOVED): the 1-GiB-chunk free-HBM probe measured 15 GiB
+    # allocatable but poisoned the axon allocator — even with explicit
+    # buffer .delete() every subsequent eager op died RESOURCE_EXHAUSTED
+    # (two takes, 2026-08-19). Known from take 1: ~15 GiB allocatable.
 
     from egobox_tpu.gp.fit import fit_gp
     from egobox_tpu.parallel import realize_dist_model
@@ -68,8 +58,9 @@ def main():
     theta = jnp.full((d,), 0.2, dtype)
 
     # S1: one likelihood eval
-    print("S1 dist_likelihood_parts ...", flush=True)
-    try:
+    if stage in ("all", "s1"):
+      print("S1 dist_likelihood_parts ...", flush=True)
+      try:
         t0 = time.perf_counter()
         rlf, _ = dist_likelihood_parts(
             mesh, xn, yn, theta, corr="squared_exponential",
@@ -77,13 +68,14 @@ def main():
         )
         out["s1_rlf"] = float(rlf)
         out["s1_s"] = round(time.perf_counter() - t0, 2)
-    except Exception as e:  # noqa: BLE001
+      except Exception as e:  # noqa: BLE001
         out["s1_err"] = f"{type(e).__name__}: {str(e)[:120]}"
-    print(f"S1 {out.get('s1_s', out.get('s1_err'))}", flush=True)
+      print(f"S1 {out.get('s1_s', out.get('s1_err'))}", flush=True)
 
     # S2: warm-started realize + serve
-    print("S2 realize + predict ...", flush=True)
-    try:
+    if stage in ("all", "s2"):
+      print("S2 realize + predict ...", flush=True)
+      try:
         sub = np.random.default_rng(0).permutation(n)[:2000]
         m0 = fit_gp(x[sub], y[sub], nugget=1e-3, n_start=3, max_iters=20,
                     ls_batch=8)
@@ -98,13 +90,14 @@ def main():
         out["s2_realize_s"] = round(t_real, 2)
         out["s2_pred512_s"] = round(time.perf_counter() - t0, 3)
         out["s2_lkh"] = lkh
-    except Exception as e:  # noqa: BLE001
+      except Exception as e:  # noqa: BLE001
         out["s2_err"] = f"{type(e).__name__}: {str(e)[:120]}"
-    print(f"S2 {out.get('s2_realize_s', out.get('s2_err'))}", flush=True)
+      print(f"S2 {out.get('s2_realize_s', out.get('s2_err'))}", flush=True)
 
     # S3: full distributed fit, lighter polish
-    print("S3 fit_gp(mesh=...) polish_iters=1 probes=32 ...", flush=True)
-    try:
+    if stage in ("all", "s3"):
+      print("S3 fit_gp(mesh=...) ...", flush=True)
+      try:
         t0 = time.perf_counter()
         m = fit_gp(
             x, y, nugget=1e-3, mesh=mesh, subsample_warmstart=2000,
@@ -112,12 +105,12 @@ def main():
         )
         out["s3_lkh"] = float(m.likelihood)
         out["s3_fit_s"] = round(time.perf_counter() - t0, 2)
-    except Exception as e:  # noqa: BLE001
+      except Exception as e:  # noqa: BLE001
         out["s3_err"] = f"{type(e).__name__}: {str(e)[:120]}"
-    print(f"S3 {out.get('s3_fit_s', out.get('s3_err'))}", flush=True)
+      print(f"S3 {out.get('s3_fit_s', out.get('s3_err'))}", flush=True)
 
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "all")
