@@ -15,6 +15,18 @@ reclaims dead buffers LAZILY, so S1's (n,n) feeds were still resident
 when S2 allocated (S1 standalone passed at 723 s incl. compile, then
 S2/S3 died RESOURCE_EXHAUSTED). Run ONE stage per process:
 Usage: python tools/prof_dist20k_mem.py [s1|s2|s3]  (TPU)
+
+MEASURED (take 4, one stage per process, v5e 2026-08-20, slow-tunnel
+session — times include cold compiles):
+  S1 one dist_likelihood_parts eval   723.1 s   rlf 11978.6
+  S2 realize_dist_model + serve       235.1 s realize, 56.8 s predict512
+  S3 FULL fit_gp(mesh=..., polish_iters=1, grad_probes=32)
+                                      651.5 s   lkh 24496.6
+S3's likelihood beats S2's warm-start-only realize (24141.8), i.e. the
+distributed polish genuinely improves theta. Conclusion: n=20k fits and
+serves on ONE v5e chip provided the process is fresh; the round-5 "OOM"
+was allocator contamination from earlier stages, not a real capacity
+limit of the fit itself.
 """
 import json
 import os
