@@ -351,9 +351,11 @@ def fit_sgp(
     tools/prof_sgp50k.py). The dense theta is in normalized-x units;
     every kernel multiplies theta into the distance linearly
     (gp/kernels.py), so theta_raw = theta_norm / x_std. The same flag
-    defaults the noise init to 1e-2 var(y) (the absolute default 1e-2 is
-    ~zero against unnormalized y). Not supported with kpls_dim (the
-    rotation bases of the subsample and full data differ)."""
+    defaults the noise init to 1e-1 var(y) (descending from above is
+    safe; inits <= 1e-2 var(y) under a still-underfit kernel overshoot
+    into the all-noise plateau — see the inline note below). Not
+    supported with kpls_dim (the rotation bases of the subsample and
+    full data differ)."""
     x = jnp.atleast_2d(jnp.asarray(x))
     dtype = x.dtype
     y = jnp.asarray(y, dtype=dtype)
