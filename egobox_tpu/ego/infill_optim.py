@@ -32,6 +32,16 @@ CSTR_DOUBT = 3.0
 #: to max_ls sequential ones (optim/lbfgsb.py ls_batch)
 LS_BATCH = 8
 
+import os as _os
+
+#: constrained-infill iteration budget: ``n_outer`` augmented-Lagrangian
+#: rounds x ``inner_iters`` L-BFGS iterations each (the unconstrained
+#: path always runs ``2 * inner_iters``). Env-tunable at IMPORT time for
+#: A/B measurement (tools/prof_infill_budget.py) — programs already
+#: compiled keep their traced budget.
+INFILL_INNER_ITERS = int(_os.environ.get("EGOBOX_INFILL_ITERS", "40"))
+INFILL_N_OUTER = int(_os.environ.get("EGOBOX_INFILL_OUTER", "4"))
+
 
 def _criterion(crit: str, mean, var, fmin, scale_wb2, sigma_weight=1.0):
     if crit == "EI":
@@ -119,8 +129,8 @@ def optimize_infill(
     cstr_strategy: str = "MC",
     n_cstr: int = 0,
     cstr_infill: bool = False,
-    inner_iters: int = 40,
-    n_outer: int = 4,
+    inner_iters: int = INFILL_INNER_ITERS,
+    n_outer: int = INFILL_N_OUTER,
     feasibility: bool = True,
     optimizer: str = "COBYLA",
     fcstr_fns: tuple = (),
