@@ -108,6 +108,19 @@ class EgorConfig:
     coego_partial_theta_tuning: bool = False
     #: pad DoE sizes up to multiples of this so XLA re-uses compilations
     shape_bucket: int = field(default_factory=_default_bucket)
+    #: warm-refit multistart width: after the first ``shape_bucket``
+    #: iterations, the per-iteration surrogate MLE re-seeds only this
+    #: many LHS lanes on top of the carried warm-start thetas (the carry
+    #: makes full-width re-seeding redundant). The in-EGO fit is
+    #: width-bound on TPU — measured G24/UTB traced 11.1 -> ~24 it/s at
+    #: held optimum quality (tools/prof_g24_stage2.py D_ns4; the AL
+    #: infill budget and the fit DEPTH both measured flat). The
+    #: reference re-seeds the full n_start every refit
+    #: (ref: egor_config.rs:13-15 + gp fit multistart); set None for
+    #: that reference-exact behavior. Applies to single-cluster dense
+    #: fits (host, fused, traced); clustered-MoE refits keep full width
+    #: (reclustering invalidates the theta carry).
+    warm_refit_n_start: Optional[int] = 4
 
     def resolved_cstr_tol(self, n_fcstr: int = 0) -> np.ndarray:
         n = self.n_cstr + n_fcstr

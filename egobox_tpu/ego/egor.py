@@ -66,6 +66,7 @@ class Egor:
         coego_n_coop: int = 0,
         n_clusters: int = 1,
         q_optmod: int = 1,
+        warm_refit_n_start: Optional[int] = 4,
         target: float = -np.inf,
         outdir: Optional[str] = None,
         warm_start: bool = False,
@@ -94,6 +95,7 @@ class Egor:
             q_points=q_points,
             q_infill_strategy=q_infill_strategy,
             q_optmod=q_optmod,
+            warm_refit_n_start=warm_refit_n_start,
             infill_optimizer=infill_optimizer,
             gp_config=gp_config,
             target=target,

@@ -438,6 +438,15 @@ def run_traced(solver, state, fobj, max_iters: int,
 
     remaining = int(max_iters) - int(state.iter)
     nx = solver.nx
+    # warm-refit width: chunks starting at iter >= shape_bucket re-seed
+    # only warm_refit_n_start lanes on top of the carried thetas — the
+    # same boundary as the host loop's _gp_n_start(state), so the two
+    # paths keep identical streams (solver.py; measured 2.2x constrained
+    # traced throughput, tools/prof_g24_stage2.py). Each chunk already
+    # compiles its own program (the nb bucket grows), so the per-chunk
+    # static width adds no extra compilations.
+    wrns = cfg.warm_refit_n_start
+    base_ns = solver.spec.n_start
     crit = _CRIT_NAME[cfg.infill_strategy]
     cstrat = _CSTR_NAME[cfg.cstr_strategy]
     opt = _OPT_NAME[cfg.infill_optimizer]
@@ -445,6 +454,11 @@ def run_traced(solver, state, fobj, max_iters: int,
     qei = _QEI_NAME[cfg.q_infill_strategy]
     while remaining > 0:
         k = min(chunk, remaining)
+        if (wrns is None or base_ns <= 0
+                or int(state.iter) < int(cfg.shape_bucket)):
+            gp_ns = base_ns
+        else:
+            gp_ns = min(base_ns, int(wrns))
         n = state.x_data.shape[0]
         nb = _bucket(n + k * q, cfg.shape_bucket)
         xp = np.zeros((nb, nx))
@@ -467,7 +481,7 @@ def run_traced(solver, state, fobj, max_iters: int,
             use_middle=use_middle, use_feasibility_first=use_feas,
             corr=solver.spec.corr, trend=solver.spec.trend,
             kpls_dim=solver.spec.kpls_dim,
-            gp_n_start=solver.spec.n_start,
+            gp_n_start=gp_ns,
             gp_max_iters=solver.spec.max_iters,
             nugget=solver.spec.nugget,
             n_cloud=min(100 * nx, 1000), crit=crit,

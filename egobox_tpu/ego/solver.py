@@ -335,6 +335,26 @@ class EgorSolver:
         state.moe_params = [expert_params(mix) for mix in mixes]
         return tuple(mix.to_model() for mix in mixes)
 
+    def _gp_n_start(self, state: EgorState) -> int:
+        """Effective MLE multistart width for this iteration's refit.
+
+        After the first ``shape_bucket`` iterations, the carried theta
+        warm starts (state.theta_inits / the traced-run scan carry) make
+        full-width LHS re-seeding redundant; the fit is width-bound on
+        TPU, so shrinking to ``warm_refit_n_start`` lanes is the single
+        biggest constrained-EGO throughput lever (measured 11.1 -> ~24
+        it/s G24/UTB traced at held quality, tools/prof_g24_stage2.py).
+        The boundary is ``shape_bucket`` ITERATIONS — exactly the traced
+        run's chunk boundary — so the host loop and run_traced reduce at
+        the same step and their streams stay equivalent. None (or
+        n_start <= 0, the fixed-theta convention) disables."""
+        w = self.config.warm_refit_n_start
+        ns = self.spec.n_start
+        if (w is None or ns <= 0
+                or int(state.iter) < int(self.config.shape_bucket)):
+            return ns
+        return min(ns, int(w))
+
     def _train_gp_batched(self, state: EgorState, xt: np.ndarray,
                           yt: np.ndarray, optimize_theta: bool):
         xp, yp, mask = self._pad(xt, yt)
@@ -375,6 +395,7 @@ class EgorSolver:
                     active_theta=jnp.asarray(
                         activity_theta_mask(group, dim)
                     ),
+                    n_start=self._gp_n_start(state),
                 )
                 theta0s = np.asarray(models.theta)
             state.theta_inits = theta0s
@@ -385,6 +406,7 @@ class EgorSolver:
             optimize_theta=optimize_theta,
             theta_bounds=jnp.asarray(self.theta_bounds),
             seed=int(state.rng.integers(0, 2**31)),
+            n_start=self._gp_n_start(state),
         )
         state.theta_inits = np.asarray(models.theta)
         return models
@@ -601,7 +623,8 @@ class EgorSolver:
         )
         statics = dict(
             corr=self.spec.corr, trend=self.spec.trend,
-            kpls_dim=self.spec.kpls_dim, gp_n_start=self.spec.n_start,
+            kpls_dim=self.spec.kpls_dim,
+            gp_n_start=self._gp_n_start(state),
             gp_max_iters=self.spec.max_iters, fixed=not optimize_theta,
             nugget=self.spec.nugget, ls_batch=self.spec.ls_batch,
             n_cloud=min(100 * self.nx, 1000),

@@ -77,6 +77,7 @@ def train_gp_surrogates(
     theta_bounds=None,
     seed: int = 42,
     active_theta: Optional[jnp.ndarray] = None,  # (dim,) bool
+    n_start: Optional[int] = None,  # override spec.n_start (warm refits)
 ) -> GpModel:
     """Fit one GP per column of ``y_all``; returns a batched GpModel pytree
     with leading axis m.
@@ -109,7 +110,8 @@ def train_gp_surrogates(
     return _fit_batch(
         x, y_all.T, mask, theta0s, lo, up, active_theta, key,
         corr=spec.corr, trend=spec.trend, kpls_dim=spec.kpls_dim,
-        n_start=spec.n_start, max_iters=spec.max_iters,
+        n_start=spec.n_start if n_start is None else n_start,
+        max_iters=spec.max_iters,
         fixed=not optimize_theta, nugget=spec.nugget,
         ls_batch=spec.ls_batch,
     )
