@@ -438,13 +438,13 @@ def run_traced(solver, state, fobj, max_iters: int,
 
     remaining = int(max_iters) - int(state.iter)
     nx = solver.nx
-    # warm-refit width: chunks starting at iter >= shape_bucket re-seed
-    # only warm_refit_n_start lanes on top of the carried thetas — the
-    # same boundary as the host loop's _gp_n_start(state), so the two
-    # paths keep identical streams (solver.py; measured 2.2x constrained
-    # traced throughput, tools/prof_g24_stage2.py). Each chunk already
-    # compiles its own program (the nb bucket grows), so the per-chunk
-    # static width adds no extra compilations.
+    # warm-refit width: the cold fit (iter 0) runs in its own k=1 first
+    # chunk at the full n_start width; chunks starting at iter >= 1
+    # re-seed only warm_refit_n_start lanes on top of the carried
+    # thetas — the same boundary as the host loop's _gp_n_start(state),
+    # so the two paths keep identical streams (solver.py; measured 2.2x
+    # constrained traced throughput, tools/prof_g24_stage2.py). Cost:
+    # one extra small-chunk program per config (persistent-cached).
     wrns = cfg.warm_refit_n_start
     base_ns = solver.spec.n_start
     crit = _CRIT_NAME[cfg.infill_strategy]
@@ -452,13 +452,17 @@ def run_traced(solver, state, fobj, max_iters: int,
     opt = _OPT_NAME[cfg.infill_optimizer]
     q = int(cfg.q_points)
     qei = _QEI_NAME[cfg.q_infill_strategy]
+    warm_refit_on = wrns is not None and base_ns > 0
     while remaining > 0:
-        k = min(chunk, remaining)
-        if (wrns is None or base_ns <= 0
-                or int(state.iter) < int(cfg.shape_bucket)):
+        if warm_refit_on and int(state.iter) < 1:
+            k = 1  # cold fit: full-width MLE in its own chunk
             gp_ns = base_ns
-        else:
+        elif warm_refit_on:
+            k = min(chunk, remaining)
             gp_ns = min(base_ns, int(wrns))
+        else:
+            k = min(chunk, remaining)
+            gp_ns = base_ns
         n = state.x_data.shape[0]
         nb = _bucket(n + k * q, cfg.shape_bucket)
         xp = np.zeros((nb, nx))

@@ -196,12 +196,21 @@ def optimize_infill(
             crit, means, vrs, fmin, scale_infill, scale_wb2, cstr_tols,
             cstr_infill, sigma_weight, feasibility, feas_flag,
         )
+        # The optimizer targets g <= 0 UNSHIFTED; cstr_tol is the
+        # ACCEPTANCE slack applied at feasibility checks, not a boundary
+        # shift (ref: optimizers/optimizer.rs:108 passes cstr_tol/scale
+        # to nlopt as the allowed violation on fc(x) <= 0). Shifting the
+        # target to g = tol (the round-3 structure) parked boundary
+        # optima exactly ON the acceptance edge, so whether the returned
+        # point counted as feasible was an fp coin flip (observed:
+        # xsinx s.t. x<=18 landed at 18+1.00001e-4 vs tol 1e-4 on a
+        # 1-ulp stream change).
         parts = []
         if surr_hard:
             g = means[1:]
             if cstr_strategy == "UTB":
                 g = g + CSTR_DOUBT * jnp.sqrt(jnp.maximum(vrs[1:], 0.0))
-            gs = (g - cstr_tols) / scale_cstr
+            gs = g / scale_cstr
             if feas_flag is not None:
                 gs = jnp.where(feas_flag, gs, -jnp.ones_like(gs))
             parts.append(gs)
@@ -210,7 +219,7 @@ def optimize_infill(
                 [jnp.asarray(fn(x), dtype).reshape(())
                  for fn in fcstr_fns]
             )
-            parts.append((gfc - fcstr_tols) / scale_fcstr)
+            parts.append(gfc / scale_fcstr)
         v = (
             jnp.concatenate(parts) if parts
             else jnp.zeros((0,), dtype)

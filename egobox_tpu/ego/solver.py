@@ -338,20 +338,21 @@ class EgorSolver:
     def _gp_n_start(self, state: EgorState) -> int:
         """Effective MLE multistart width for this iteration's refit.
 
-        After the first ``shape_bucket`` iterations, the carried theta
-        warm starts (state.theta_inits / the traced-run scan carry) make
-        full-width LHS re-seeding redundant; the fit is width-bound on
-        TPU, so shrinking to ``warm_refit_n_start`` lanes is the single
-        biggest constrained-EGO throughput lever (measured 11.1 -> ~24
-        it/s G24/UTB traced at held quality, tools/prof_g24_stage2.py).
-        The boundary is ``shape_bucket`` ITERATIONS — exactly the traced
-        run's chunk boundary — so the host loop and run_traced reduce at
-        the same step and their streams stay equivalent. None (or
+        The cold fit (iter 0, no carried thetas) keeps the full
+        ``n_start`` width; every warm refit (iter >= 1: state.theta_inits
+        / the traced-run scan carry exist) re-seeds only
+        ``warm_refit_n_start`` lanes — the carry makes full-width LHS
+        re-seeding redundant, and the fit is width-bound on TPU, so this
+        is the single biggest constrained-EGO throughput lever (measured
+        11.1 -> ~24 it/s G24/UTB traced at held quality,
+        tools/prof_g24_stage2.py D_ns4 — which held quality with even
+        the COLD fit at width 4). run_traced mirrors the boundary by
+        running the cold fit in its own k=1 first chunk, so the host
+        loop and the traced run keep identical streams. None (or
         n_start <= 0, the fixed-theta convention) disables."""
         w = self.config.warm_refit_n_start
         ns = self.spec.n_start
-        if (w is None or ns <= 0
-                or int(state.iter) < int(self.config.shape_bucket)):
+        if w is None or ns <= 0 or int(state.iter) < 1:
             return ns
         return min(ns, int(w))
 
@@ -1035,7 +1036,6 @@ class EgorSolver:
         from .infill_optim import eval_infill_and_cstrs
 
         n_cstr = crit_kwargs["n_cstr"]
-        tols_np = np.asarray(crit_kwargs["cstr_tols"])
         scale_cstr_np = np.asarray(crit_kwargs["scale_cstr"])
 
         # scale for the function constraints: max |g| over the scaling
@@ -1061,18 +1061,15 @@ class EgorSolver:
         cstr_list = []
         for i in range(n_cstr):
             def surr_c(x, _i=i):
+                # target g <= 0 unshifted; tol is acceptance slack only
+                # (ref: optimizers/optimizer.rs:108, see infill_optim)
                 _, m = obj_and_cstrs(jnp.asarray(x))
-                return (float(m[_i]) - tols_np[_i]) / scale_cstr_np[_i]
+                return float(m[_i]) / scale_cstr_np[_i]
 
             cstr_list.append(surr_c)
         for j, fc in enumerate(fcstrs):
-            tol_j = (
-                float(np.asarray(self.config.resolved_cstr_tol(len(fcstrs))
-                                 )[n_cstr + j])
-            )
-
-            def user_c(x, _fc=fc, _s=scale_fc[j], _t=tol_j):
-                return (float(_fc(x)) - _t) / _s
+            def user_c(x, _fc=fc, _s=scale_fc[j]):
+                return float(_fc(x)) / _s
 
             cstr_list.append(user_c)
 

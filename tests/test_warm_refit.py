@@ -1,10 +1,10 @@
 """Warm-refit multistart width (EgorConfig.warm_refit_n_start).
 
-After the first shape_bucket iterations the per-iteration surrogate MLE
-re-seeds only warm_refit_n_start LHS lanes on top of the carried theta
-warm starts. The reduction boundary is shape_bucket ITERATIONS in both
-the host loop (solver._gp_n_start) and the traced run (per-chunk static
-width, fused_run.run_traced) so the two paths keep identical streams.
+The cold fit (iter 0) keeps the full n_start width; every warm refit
+(iter >= 1) re-seeds only warm_refit_n_start LHS lanes on top of the
+carried theta warm starts. The traced run mirrors the boundary by
+running the cold fit in its own k=1 first chunk
+(fused_run.run_traced), so both paths reduce at the same step.
 Measured on v5e (tools/prof_g24_stage2.py): the in-EGO fit is
 width-bound — G24/UTB traced 11.1 -> ~24 it/s at held optimum quality.
 """
@@ -25,19 +25,17 @@ def xsinx_traced(x):
     return ((x - 3.5) * jnp.sin((x - 3.5) / jnp.pi)).reshape(-1, 1)
 
 
-def test_gp_n_start_reduces_after_first_bucket(monkeypatch):
+def test_gp_n_start_reduces_after_cold_fit(monkeypatch):
     monkeypatch.setenv("EGOBOX_SHAPE_BUCKET", "4")
     egor = egx.Egor([[0.0, 25.0]], seed=1, n_doe=4)
     solver = egor.solver
     state = solver.init_state(xsinx)
     assert solver.config.shape_bucket == 4
-    # cold start: full width
+    # cold start (no theta carry yet): full width
     state.iter = 0
     assert solver._gp_n_start(state) == solver.spec.n_start
-    state.iter = 3
-    assert solver._gp_n_start(state) == solver.spec.n_start
-    # warm: reduced width
-    state.iter = 4
+    # warm refits: reduced width
+    state.iter = 1
     assert solver._gp_n_start(state) == 4
     state.iter = 17
     assert solver._gp_n_start(state) == 4
@@ -61,10 +59,9 @@ def test_gp_n_start_opt_outs(monkeypatch):
 
 
 def test_host_and_traced_reduce_at_same_boundary(monkeypatch):
-    """With the reduction engaged (bucket=4 < max_iters) the host loop
-    and the traced run must still walk the same stream: same refit
-    widths at the same iterations (the traced chunk boundary IS the
-    host's iteration boundary)."""
+    """With the reduction engaged the host loop and the traced run must
+    still land the same optimum: same refit widths at the same
+    iterations (the traced run isolates the cold fit in a k=1 chunk)."""
     monkeypatch.setenv("EGOBOX_SHAPE_BUCKET", "4")
     r_host = egx.Egor([[0.0, 25.0]], seed=3, n_doe=4).minimize(
         xsinx, max_iters=10)
